@@ -1,0 +1,429 @@
+"""Host-side matcher compiler: keywords -> dense numpy automaton tables.
+
+This is the TPU-native replacement for the reference's eight per-matcher
+construction pipelines (canonical copy: ``AhoCorasickSet.java:20-191``).
+Where the reference builds a pointer-linked trie with per-node hashmap/range
+storage and walks fail links at match time, we compile everything down to a
+handful of dense ``int32`` arrays once, so every engine (XLA scan, Pallas
+kernel, sharded multi-chip scan) is a pure gather program over static shapes:
+
+* ``charmap``   — UTF-16 unit -> compact alphabet class (case folding and
+  word-character classification baked in; moral heir of the reference's
+  ``Character.toLowerCase`` calls and ``WordCharacters`` tables).
+* ``trie_next`` — goto function over trie edges only, with an absorbing DEAD
+  state.  This powers the *failureless* parallel scan: on TPU we do not
+  translate fail links into the hot loop at all — every position walks its
+  own trie path in parallel, so fail transitions (whose only purpose is to
+  let a *sequential* scanner avoid restarting) are unnecessary there.
+* ``dfa_next``  — full goto-closure delta: S x A next-state table with fail
+  links compiled away.  The reference itself proves this move is sound: its
+  RangeNode gap-filling pass (``AhoCorasickSet.java:142-190``) precomputes
+  exactly these closures for dense nodes.
+* emit tables   — per-state flattened match lists reproducing the
+  ``output()`` suffix-chain order (``AhoCorasickSet.java:522-535``).
+
+Variant semantics (prefix pruning for shortest-match, whole-word fail
+matches, per-state depth for leftmost-longest) are compile-time transforms
+producing the same table schema, so the device engines stay variant-agnostic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterable, List, Optional, Sequence
+
+import numpy as np
+
+from ahocorasick_tpu.utils import chartables
+
+DEADCLASS_OTHER = 0  # non-keyword char, non-word
+DEADCLASS_WORD = 1  # non-keyword char, word (only meaningful with word_chars)
+
+AC = "ac"
+LONGEST = "longest"
+SHORTEST = "shortest"
+WHOLE_WORD = "whole_word"
+WHOLE_WORD_LONGEST = "whole_word_longest"
+
+KINDS = (AC, LONGEST, SHORTEST, WHOLE_WORD, WHOLE_WORD_LONGEST)
+
+
+@dataclasses.dataclass(frozen=True)
+class CompiledMatcher:
+    """Immutable compiled automaton.
+
+    State ids: ``0`` is the trie root; ``num_states`` is the absorbing DEAD
+    state (so gather targets stay in-bounds).  ``dfa_next`` has no DEAD state:
+    it is a total function (fail links compiled away).
+    """
+
+    kind: str
+    case_sensitive: bool
+    num_states: int  # S: trie states including root; DEAD == num_states
+    num_classes: int  # A
+    charmap: np.ndarray  # int32[65536] -> class in [0, A)
+    class_is_word: Optional[np.ndarray]  # bool[A] (whole-word kinds only)
+    trie_next: np.ndarray  # int32[S+1, A]; missing edge -> DEAD
+    dfa_next: Optional[np.ndarray]  # int32[S, A] full closure (ac/longest/shortest)
+    fail: Optional[np.ndarray]  # int32[S] fail links (ac/longest/shortest)
+    own_len: np.ndarray  # int32[S+1] own-match length (0 = none)
+    own_val: np.ndarray  # int32[S+1] own-match value id (-1 = none)
+    match_len: np.ndarray  # int32[S+1] own-or-inherited (Java node.matchLength)
+    match_val: np.ndarray  # int32[S+1]
+    depth: np.ndarray  # int32[S+1] node depth (root=0)
+    emit_start: Optional[np.ndarray]  # int32[S+1] into emit_len/emit_val
+    emit_count: Optional[np.ndarray]  # int32[S+1]
+    emit_len: Optional[np.ndarray]  # int32[E] match lengths, Java output() order
+    emit_val: Optional[np.ndarray]  # int32[E] value ids
+    fail_len: Optional[np.ndarray]  # int32[S+1] whole_word_longest fail match
+    fail_off: Optional[np.ndarray]  # int32[S+1]
+    fail_val: Optional[np.ndarray]  # int32[S+1]
+    word_chars: Optional[np.ndarray]  # bool[65536] raw word-char table
+    values: Optional[list]  # host-side value objects (maps) or None (sets)
+    max_depth: int  # longest keyword length in UTF-16 units
+
+    @property
+    def dead_state(self) -> int:
+        return self.num_states
+
+    def memory_bytes(self) -> int:
+        total = 0
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, np.ndarray):
+                total += v.nbytes
+        return total
+
+
+class _Trie:
+    """Append-only host trie used during compilation."""
+
+    __slots__ = ("children", "own_len", "own_val", "depth", "parent", "parent_char")
+
+    def __init__(self) -> None:
+        self.children: List[dict] = [{}]  # node -> {folded char unit -> child id}
+        self.own_len: List[int] = [0]
+        self.own_val: List[int] = [-1]
+        self.depth: List[int] = [0]
+        self.parent: List[int] = [0]
+        self.parent_char: List[int] = [0]
+
+    def add_child(self, node: int, unit: int) -> int:
+        kids = self.children[node]
+        child = kids.get(unit)
+        if child is None:
+            child = len(self.children)
+            kids[unit] = child
+            self.children.append({})
+            self.own_len.append(0)
+            self.own_val.append(-1)
+            self.depth.append(self.depth[node] + 1)
+            self.parent.append(node)
+            self.parent_char.append(unit)
+        return child
+
+    def __len__(self) -> int:
+        return len(self.children)
+
+
+def _fold_units(keyword: str, case_sensitive: bool) -> np.ndarray:
+    units = chartables.to_utf16_units(keyword)
+    if not case_sensitive:
+        units = chartables.lower_table()[units]
+    return units
+
+
+def _iter_pairs(keywords: Iterable[str], values: Optional[Iterable]):
+    if values is None:
+        for kw in keywords:
+            yield kw, None
+    else:
+        for kw, val in zip(keywords, values):
+            yield kw, val
+
+
+def compile_matcher(
+    keywords: Iterable[str],
+    kind: str,
+    case_sensitive: bool,
+    values: Optional[Iterable] = None,
+    word_chars: Optional[np.ndarray] = None,
+) -> CompiledMatcher:
+    """Compile a keyword list into dense automaton tables.
+
+    ``values``: optional per-keyword payloads (map variants).  ``word_chars``:
+    bool[65536] for whole-word kinds (defaults to the reference's default
+    word-character set).
+    """
+    if kind not in KINDS:
+        raise ValueError(f"unknown matcher kind {kind!r}")
+    whole_word = kind in (WHOLE_WORD, WHOLE_WORD_LONGEST)
+    if whole_word and word_chars is None:
+        word_chars = chartables.default_word_chars()
+    if not whole_word:
+        word_chars = None
+
+    trie = _Trie()
+    value_list: Optional[list] = [] if values is not None else None
+    max_depth = 0
+
+    for keyword, val in _iter_pairs(keywords, values):
+        if keyword is None:
+            continue
+        if whole_word:
+            # Reference trims non-word chars off the ends, then (plain
+            # whole-word only) rejects keywords containing interior non-word
+            # characters (WholeWordMatchSet.java:146-153).
+            keyword = chartables.trim_word(keyword, word_chars)
+            if kind == WHOLE_WORD:
+                raw_units = chartables.to_utf16_units(keyword)
+                if not np.all(word_chars[raw_units]):
+                    raise ValueError(f"{keyword} contains non-word characters.")
+            if len(keyword) == 0:
+                continue
+        elif len(keyword) == 0:
+            continue
+
+        units = _fold_units(keyword, case_sensitive)
+        node = 0
+        skipped = False
+        for unit in units:
+            node = trie.add_child(node, int(unit))
+            if kind == SHORTEST and trie.own_len[node] != 0:
+                # A shorter keyword already terminates here; this keyword can
+                # never match (ShortestMatchSet.java:23-42).  Order-dependent
+                # by design, reproduced exactly.
+                skipped = True
+                break
+        if skipped:
+            continue
+        trie.own_len[node] = len(units)
+        if value_list is not None:
+            trie.own_val[node] = len(value_list)
+            value_list.append(val)
+        max_depth = max(max_depth, len(units))
+
+    return _finalize(trie, kind, case_sensitive, value_list, word_chars, max_depth)
+
+
+def _build_alphabet(trie: _Trie, case_sensitive: bool, word_chars: Optional[np.ndarray]):
+    """Assign compact alphabet classes and the 65536-entry charmap."""
+    lower = chartables.lower_table()
+    edge_chars = sorted({c for kids in trie.children for c in kids})
+    have_word = word_chars is not None
+
+    if have_word:
+        # Wordness in the reference is evaluated on the *folded* haystack char
+        # in case-insensitive mode (WholeWordMatchSet.java:96,101), so it is a
+        # function of the folded unit and can be baked into the class id.
+        base = 2  # class 0: other non-word, class 1: other word
+    else:
+        base = 1  # class 0: any non-keyword char
+
+    class_of = {c: base + i for i, c in enumerate(edge_chars)}
+    num_classes = base + len(edge_chars)
+
+    eff = np.arange(65536, dtype=np.int64) if case_sensitive else lower.astype(np.int64)
+    # Class per *folded* unit, then compose with the folding map.
+    folded_class = np.zeros(65536, dtype=np.int32)
+    if have_word:
+        folded_class[:] = np.where(word_chars, DEADCLASS_WORD, DEADCLASS_OTHER)
+    for c, cls in class_of.items():
+        folded_class[c] = cls
+    charmap = folded_class[eff]
+
+    class_is_word = None
+    if have_word:
+        class_is_word = np.zeros(num_classes, dtype=bool)
+        class_is_word[DEADCLASS_WORD] = True
+        for c, cls in class_of.items():
+            class_is_word[cls] = bool(word_chars[c])
+    return charmap, num_classes, class_of, class_is_word
+
+
+def _bfs_order(trie: _Trie) -> List[int]:
+    order = [0]
+    head = 0
+    while head < len(order):
+        node = order[head]
+        head += 1
+        order.extend(trie.children[node].values())
+    return order
+
+
+def _finalize(
+    trie: _Trie,
+    kind: str,
+    case_sensitive: bool,
+    value_list: Optional[list],
+    word_chars: Optional[np.ndarray],
+    max_depth: int,
+) -> CompiledMatcher:
+    S = len(trie)
+    charmap, A, class_of, class_is_word = _build_alphabet(trie, case_sensitive, word_chars)
+    DEAD = S
+
+    trie_next = np.full((S + 1, A), DEAD, dtype=np.int32)
+    for node, kids in enumerate(trie.children):
+        for c, child in kids.items():
+            trie_next[node, class_of[c]] = child
+
+    own_len = np.asarray(trie.own_len + [0], dtype=np.int32)
+    own_val = np.asarray(trie.own_val + [-1], dtype=np.int32)
+    depth = np.asarray(trie.depth + [0], dtype=np.int32)
+    match_len = own_len.copy()
+    match_val = own_val.copy()
+
+    order = _bfs_order(trie)
+    parent = np.asarray(trie.parent, dtype=np.int32)
+    parent_cls = np.asarray(
+        [class_of[c] if n else 0 for n, c in enumerate(trie.parent_char)], dtype=np.int32
+    )
+
+    fail = None
+    dfa_next = None
+    emit_start = emit_count = emit_len_arr = emit_val_arr = None
+    fail_len = fail_off = fail_val = None
+
+    if kind in (AC, LONGEST, SHORTEST):
+        fail = np.zeros(S, dtype=np.int32)
+        dfa_next = np.zeros((S, A), dtype=np.int32)
+        # Root: missing transitions loop to root (the reference root returns
+        # itself via defaultTransition, AhoCorasickSet.java:505-507).
+        root_row = trie_next[0]
+        dfa_next[0] = np.where(root_row != DEAD, root_row, 0)
+        pruned = np.zeros(S + 1, dtype=bool)
+
+        # Level-synchronous BFS: fail links + goto closure + variant passes.
+        by_level: dict = {}
+        for node in order[1:]:
+            by_level.setdefault(trie.depth[node], []).append(node)
+
+        for level in sorted(by_level):
+            nodes = np.asarray(by_level[level], dtype=np.int32)
+            if level == 1:
+                fail[nodes] = 0
+            else:
+                fail[nodes] = dfa_next[fail[parent[nodes]], parent_cls[nodes]]
+            if kind == SHORTEST:
+                # Reproduce ShortestMatchSet.java:95-110: inherit the first
+                # match down the fail chain, then prune any matching node to a
+                # leaf whose transitions all restart at the root.
+                for node in nodes.tolist():
+                    if level > 1 and match_len[node] == 0:
+                        f = fail[node]
+                        while f != 0 and match_len[f] == 0:
+                            f = fail[f]
+                        match_len[node] = match_len[f]
+                        match_val[node] = match_val[f]
+                    if level > 1 and match_len[node] != 0:
+                        pruned[node] = True
+                        trie_next[node, :] = DEAD
+                        fail[node] = 0
+            rows = trie_next[nodes]
+            dfa_next[nodes] = np.where(rows != DEAD, rows, dfa_next[fail[nodes]])
+
+        if kind == SHORTEST:
+            # Nodes inside pruned subtrees are unreachable; leave their rows
+            # in place (harmless — nothing transitions into them).
+            pass
+
+    if kind in (AC, LONGEST):
+        # Suffix-chain emit lists in exact Java output() order: own match
+        # first, then strictly shorter suffix matches (descending length),
+        # via the first-match-ancestor links (AhoCorasickSet.java:110-121).
+        fm = np.full(S + 1, -1, dtype=np.int32)  # first match node at-or-above via fails
+        for node in order:
+            if node == 0:
+                fm[0] = -1
+                continue
+            fm[node] = node if own_len[node] > 0 else fm[fail[node]]
+
+        # L(t) for match node t: [(own t)] + L(fm(fail(t))).
+        seg_start: dict = {}
+        seg_list_len: List[int] = []
+        seg_list_val: List[int] = []
+
+        def build_L(t: int) -> tuple:
+            if t in seg_start:
+                return seg_start[t]
+            nxt = fm[fail[t]]
+            if nxt == -1:
+                start = len(seg_list_len)
+                seg_list_len.append(int(own_len[t]))
+                seg_list_val.append(int(own_val[t]))
+                res = (start, 1)
+            else:
+                sub_start, sub_count = build_L(int(nxt))
+                start = len(seg_list_len)
+                seg_list_len.append(int(own_len[t]))
+                seg_list_val.append(int(own_val[t]))
+                seg_list_len.extend(seg_list_len[sub_start : sub_start + sub_count])
+                seg_list_val.extend(seg_list_val[sub_start : sub_start + sub_count])
+                res = (start, 1 + sub_count)
+            seg_start[t] = res
+            return res
+
+        emit_start = np.zeros(S + 1, dtype=np.int32)
+        emit_count = np.zeros(S + 1, dtype=np.int32)
+        for node in order:
+            anchor = fm[node]
+            if anchor != -1:
+                st, ct = build_L(int(anchor))
+                emit_start[node] = st
+                emit_count[node] = ct
+        emit_len_arr = np.asarray(seg_list_len or [0], dtype=np.int32)
+        emit_val_arr = np.asarray(seg_list_val or [-1], dtype=np.int32)
+
+        # Mirror Java's post-inheritance node.matchLength/value for parity
+        # introspection (AhoCorasickSet.java:114-121).
+        for node in order:
+            if own_len[node] == 0 and fm[node] != -1:
+                match_len[node] = own_len[fm[node]]
+                match_val[node] = own_val[fm[node]]
+
+    if kind == WHOLE_WORD_LONGEST:
+        # Carried fail matches (WholeWordLongestMatchSet.java:224-247): the
+        # last completed word-boundary match above this node.
+        fail_len = np.zeros(S + 1, dtype=np.int32)
+        fail_off = np.zeros(S + 1, dtype=np.int32)
+        fail_val = np.full(S + 1, -1, dtype=np.int32)
+        assert class_is_word is not None
+        for node in order[1:]:
+            p = parent[node]
+            edge_is_word = bool(class_is_word[parent_cls[node]])
+            if own_len[p] != 0 and not edge_is_word:
+                fail_len[node] = own_len[p]
+                fail_off[node] = 1
+                fail_val[node] = own_val[p]
+            else:
+                fail_len[node] = fail_len[p]
+                fail_off[node] = fail_off[p] + 1
+                fail_val[node] = fail_val[p]
+
+    return CompiledMatcher(
+        kind=kind,
+        case_sensitive=case_sensitive,
+        num_states=S,
+        num_classes=A,
+        charmap=charmap,
+        class_is_word=class_is_word,
+        trie_next=trie_next,
+        dfa_next=dfa_next,
+        fail=fail,
+        own_len=own_len,
+        own_val=own_val,
+        match_len=match_len,
+        match_val=match_val,
+        depth=depth,
+        emit_start=emit_start,
+        emit_count=emit_count,
+        emit_len=emit_len_arr,
+        emit_val=emit_val_arr,
+        fail_len=fail_len,
+        fail_off=fail_off,
+        fail_val=fail_val,
+        word_chars=word_chars,
+        values=value_list,
+        max_depth=max_depth,
+    )

@@ -1,0 +1,16 @@
+"""Test environment: force CPU JAX with a simulated 8-device mesh.
+
+Multi-chip sharding paths are validated on virtual CPU devices
+(``--xla_force_host_platform_device_count``); the real-TPU path is exercised
+by ``bench.py`` and the driver's compile checks.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
