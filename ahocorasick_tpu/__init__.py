@@ -1,0 +1,44 @@
+"""ahocorasick_tpu — TPU-native multi-pattern string matching.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+RokLenarcic/AhoCorasick Java library: Aho-Corasick all-matches,
+leftmost-longest, leftmost-shortest and whole-word multi-keyword search,
+compiled host-side into dense tables and executed as data-parallel scans on
+TPU (with CPU fallback), sharded across device meshes for large corpora.
+"""
+
+from ahocorasick_tpu.core.compiler import CompiledMatcher, compile_matcher
+from ahocorasick_tpu.models.matchers import (
+    AhoCorasickMap,
+    AhoCorasickSet,
+    LongestMatchMap,
+    LongestMatchSet,
+    ShortestMatchMap,
+    ShortestMatchSet,
+    WholeWordLongestMatchMap,
+    WholeWordLongestMatchSet,
+    WholeWordMatchMap,
+    WholeWordMatchSet,
+)
+from ahocorasick_tpu.utils import chartables
+from ahocorasick_tpu.utils.thresholds import RangeNodeThreshold, Thresholder
+
+__all__ = [
+    "AhoCorasickSet",
+    "AhoCorasickMap",
+    "LongestMatchSet",
+    "LongestMatchMap",
+    "ShortestMatchSet",
+    "ShortestMatchMap",
+    "WholeWordMatchSet",
+    "WholeWordMatchMap",
+    "WholeWordLongestMatchSet",
+    "WholeWordLongestMatchMap",
+    "CompiledMatcher",
+    "compile_matcher",
+    "chartables",
+    "Thresholder",
+    "RangeNodeThreshold",
+]
+
+__version__ = "0.1.0"

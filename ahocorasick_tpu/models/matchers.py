@@ -1,0 +1,408 @@
+"""Public matcher classes — the reference API surface, TPU-native inside.
+
+Maps the reference's eight matchers (``StringSet``/``StringMap`` families)
+onto five compiled kinds with set/map façades:
+
+=====================================  =================================
+Reference class                        Here
+=====================================  =================================
+``AhoCorasickSet``                     ``AhoCorasickSet``
+``AhoCorasickMap<T>``                  ``AhoCorasickMap``
+``LongestMatchSet`` / ``Map``          ``LongestMatchSet`` / ``Map``
+``ShortestMatchSet`` / ``Map``         ``ShortestMatchSet`` / ``Map``
+``WholeWordMatchSet`` / ``Map``        ``WholeWordMatchSet`` / ``Map``
+``WholeWordLongestMatchSet`` / ``Map`` ``WholeWordLongestMatchSet``/``Map``
+=====================================  =================================
+
+Match-reporting conventions are the reference's exactly: ``end`` is one past
+the last matched UTF-16 unit; a listener returning ``False`` stops the run;
+matches are delivered in the sequential automaton's emission order.  With no
+listener, ``match`` returns the full list of ``(start, end)`` tuples (sets)
+or ``(start, end, value)`` (maps).
+
+Engines: ``"device"`` runs the parallel JAX engines (PFAC failureless scan /
+DFA lax.scan / whole-word walks); ``"gold"`` runs the sequential host model;
+``"auto"`` picks by input size.  All engines are conformance-tested to be
+bit-identical.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ahocorasick_tpu.core import gold
+from ahocorasick_tpu.core.compiler import (
+    AC,
+    LONGEST,
+    SHORTEST,
+    WHOLE_WORD,
+    WHOLE_WORD_LONGEST,
+    CompiledMatcher,
+    compile_matcher,
+)
+from ahocorasick_tpu.resolve.queue import resolve_longest
+from ahocorasick_tpu.resolve.wholeword import follow_chain, word_starts
+from ahocorasick_tpu.utils import chartables
+
+_AUTO_DEVICE_MIN_UNITS = 1 << 14
+# Lane counts are rounded up to this bucket so repeated calls with different
+# text lengths reuse compiled executables (padded lanes die without emitting).
+_LANE_BUCKET = 1 << 12
+
+
+def _bucket_up(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class _DeviceTables:
+    """Lazy per-matcher cache of device-resident (jnp) table arrays.
+
+    State and class counts are rounded up to power-of-two buckets so
+    different dictionaries of similar size share compiled executables.  The
+    DEAD state is re-anchored to the last padded row (kernels identify it as
+    ``shape[0] - 1``); padded rows/classes are unreachable.
+    """
+
+    def __init__(self, m: CompiledMatcher):
+        self._m = m
+        self._cache = {}
+        self._sp = _bucket_up(m.num_states + 1)  # padded S+1 (dead = _sp - 1)
+        self._ap = _bucket_up(m.num_classes)
+
+    def _pad_states(self, arr: np.ndarray, fill) -> np.ndarray:
+        out = np.full(self._sp, fill, dtype=arr.dtype)
+        out[: len(arr)] = arr
+        return out
+
+    def _build(self, name: str) -> np.ndarray:
+        m = self._m
+        if name == "trie_next":
+            dead = self._sp - 1
+            t = np.full((self._sp, self._ap), dead, dtype=np.int32)
+            t[: m.num_states + 1, : m.num_classes] = np.where(
+                m.trie_next == m.num_states, dead, m.trie_next
+            )
+            return t
+        if name == "dfa_next":
+            t = np.zeros((self._sp, self._ap), dtype=np.int32)
+            t[: m.num_states, : m.num_classes] = m.dfa_next
+            return t
+        if name == "dfa_next_shortest":
+            # The shortest matcher's restart-at-root baked into the table:
+            # delta''[s, c] = delta[root, c] for match states (which makes the
+            # lagged loop a *pure* DFA, chunk-stitchable like any other).
+            eff = m.dfa_next.copy()
+            eff[m.match_len[: m.num_states] > 0] = m.dfa_next[0]
+            t = np.zeros((self._sp, self._ap), dtype=np.int32)
+            t[: m.num_states, : m.num_classes] = eff
+            return t
+        if name == "is_match":
+            return self._pad_states(m.own_len, 0) > 0
+        if name == "class_is_word":
+            out = np.zeros(self._ap, dtype=bool)
+            out[: m.num_classes] = m.class_is_word
+            return out
+        arr = getattr(m, name)
+        if arr is None:
+            raise AttributeError(name)
+        fill = -1 if name.endswith("_val") else 0
+        return self._pad_states(arr, fill)
+
+    def __getattr__(self, name):
+        cache = self.__dict__["_cache"]
+        if name not in cache:
+            import jax.numpy as jnp
+
+            cache[name] = jnp.asarray(self._build(name))
+        return cache[name]
+
+
+class _Matcher:
+    kind: str = ""
+    is_map: bool = False
+
+    def __init__(
+        self,
+        keywords: Iterable[str],
+        case_sensitive: bool = True,
+        *,
+        values: Optional[Iterable] = None,
+        word_chars: Optional[np.ndarray] = None,
+        engine: str = "auto",
+        thresholder=None,
+    ) -> None:
+        # ``thresholder`` is accepted for reference-API parity; the compiled
+        # tables are always dense over compacted alphabet classes, so the
+        # dense/sparse node policy it used to control has no equivalent cost
+        # here.  See utils/thresholds.py.
+        if engine not in ("auto", "device", "gold"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
+        self.compiled = compile_matcher(
+            keywords,
+            self.kind,
+            case_sensitive,
+            values=values if self.is_map else None,
+            word_chars=word_chars,
+        )
+        self.dev = _DeviceTables(self.compiled)
+
+    # ------------------------------------------------------------------ #
+
+    def _classes(self, text: str) -> np.ndarray:
+        units = chartables.to_utf16_units(text)
+        return self.compiled.charmap[units]
+
+    def _pick_engine(self, n_units: int) -> str:
+        if self.engine != "auto":
+            return self.engine
+        return "device" if n_units >= _AUTO_DEVICE_MIN_UNITS else "gold"
+
+    def match_triples(self, text: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All matches as (starts, ends, value_ids) numpy arrays, in the
+        reference's emission order."""
+        cls = self._classes(text)
+        if self._pick_engine(len(cls)) == "gold":
+            trip = gold.gold_match(self.compiled, text)
+            if not trip:
+                z = np.zeros(0, dtype=np.int64)
+                return z, z, z.copy()
+            a = np.asarray(trip, dtype=np.int64)
+            return a[:, 0], a[:, 1], a[:, 2]
+        return self._device_triples(cls)
+
+    def _device_triples(self, cls: np.ndarray):
+        raise NotImplementedError
+
+    def count(self, text: str) -> int:
+        starts, _, _ = self.match_triples(text)
+        return int(len(starts))
+
+    def _deliver(self, text: str, listener, starts, ends, vals):
+        values = self.compiled.values
+        if self.is_map:
+            for s, e, v in zip(starts, ends, vals):
+                if listener(text, int(s), int(e), values[v]) is False:
+                    return
+        else:
+            for s, e in zip(starts, ends):
+                if listener(text, int(s), int(e)) is False:
+                    return
+
+    def match(self, haystack: str, listener: Optional[Callable] = None):
+        """Reference ``match``: deliver to a listener, or return the list."""
+        starts, ends, vals = self.match_triples(haystack)
+        if listener is not None:
+            self._deliver(haystack, listener, starts, ends, vals)
+            return None
+        if self.is_map:
+            values = self.compiled.values
+            return [(int(s), int(e), values[v]) for s, e, v in zip(starts, ends, vals)]
+        return [(int(s), int(e)) for s, e in zip(starts, ends)]
+
+
+# --------------------------------------------------------------------------- #
+# Device engine mixins per kind
+# --------------------------------------------------------------------------- #
+
+
+def _bucket_depth(d: int) -> int:
+    # Pad walk depth to a small set of buckets: extra depth steps only walk
+    # already-dead lanes (no emissions), so this trades a little wasted work
+    # for far fewer distinct compiled executables.
+    return _bucket_up(max(d, 1))
+
+
+class _PfacEngine(_Matcher):
+    """All-candidates failureless scan; AC emits directly, Longest resolves."""
+
+    def _candidates(self, cls: np.ndarray):
+        import jax.numpy as jnp
+
+        from ahocorasick_tpu.ops import emit, scan_pfac
+
+        m = self.compiled
+        d = _bucket_depth(m.max_depth)
+        planes = (d + 31) // 32
+        cls_p = scan_pfac.pad_classes(cls, d, bucket=_LANE_BUCKET)
+        bits = scan_pfac.pfac_bitplanes(
+            self.dev.trie_next,
+            self.dev.is_match,
+            jnp.asarray(cls_p),
+            d,
+            planes,
+        )
+        return emit.ac_matches(m, cls, np.asarray(bits))
+
+
+class AhoCorasickSet(_PfacEngine):
+    """All occurrences of all keywords, overlapping (reference ``AhoCorasickSet``)."""
+
+    kind = AC
+
+    def _device_triples(self, cls):
+        return self._candidates(cls)
+
+
+class AhoCorasickMap(AhoCorasickSet):
+    kind = AC
+    is_map = True
+
+    def __init__(self, keywords, values, case_sensitive=True, **kw):
+        super().__init__(keywords, case_sensitive, values=values, **kw)
+
+
+class LongestMatchSet(_PfacEngine):
+    """Leftmost-longest non-overlapping (reference ``LongestMatchSet``)."""
+
+    kind = LONGEST
+
+    def _device_triples(self, cls):
+        starts, ends, vals = self._candidates(cls)
+        return resolve_longest(starts, ends, vals)
+
+
+class LongestMatchMap(LongestMatchSet):
+    kind = LONGEST
+    is_map = True
+
+    def __init__(self, keywords, values, case_sensitive=True, **kw):
+        super().__init__(keywords, case_sensitive, values=values, **kw)
+
+
+class ShortestMatchSet(_Matcher):
+    """Leftmost-shortest non-overlapping (reference ``ShortestMatchSet``)."""
+
+    kind = SHORTEST
+
+    def _device_triples(self, cls):
+        import jax.numpy as jnp
+
+        from ahocorasick_tpu.ops import emit, scan_dfa, scan_pfac
+
+        n = len(cls)
+        cls_p = scan_pfac.pad_classes(cls, 0, bucket=_LANE_BUCKET)
+        states = scan_dfa.shortest_states(
+            self.dev.dfa_next, self.dev.match_len, jnp.asarray(cls_p.astype(np.int32))
+        )
+        return emit.states_to_shortest_matches(self.compiled, np.asarray(states)[:n])
+
+
+class ShortestMatchMap(ShortestMatchSet):
+    kind = SHORTEST
+    is_map = True
+
+    def __init__(self, keywords, values, case_sensitive=True, **kw):
+        super().__init__(keywords, case_sensitive, values=values, **kw)
+
+
+class WholeWordMatchSet(_Matcher):
+    """Whole-word-only matches (reference ``WholeWordMatchSet``)."""
+
+    kind = WHOLE_WORD
+
+    def __init__(self, keywords, case_sensitive=True, *, word_chars=None, toggle_flags=None, **kw):
+        word_chars = _resolve_word_chars(word_chars, toggle_flags)
+        super().__init__(keywords, case_sensitive, word_chars=word_chars, **kw)
+
+    def _device_triples(self, cls):
+        import jax.numpy as jnp
+
+        from ahocorasick_tpu.ops import emit, scan_pfac
+
+        m = self.compiled
+        d = _bucket_depth(m.max_depth)
+        planes = (d + 31) // 32
+        cls_p = scan_pfac.pad_classes(cls, d + 1, bucket=_LANE_BUCKET)
+        bits = scan_pfac.pfac_whole_word_bitplanes(
+            self.dev.trie_next,
+            self.dev.is_match,
+            self.dev.class_is_word,
+            jnp.asarray(cls_p),
+            d,
+            planes,
+        )
+        starts, lens = emit.bitplanes_to_matches(np.asarray(bits), d)
+        order = np.argsort(starts, kind="stable")  # ≤1 match per word: start order == end order
+        starts, lens = starts[order], lens[order]
+        if m.values is not None:
+            vals = emit.walk_values(m, cls, starts, lens)
+        else:
+            vals = np.full(len(starts), -1, dtype=np.int64)
+        return starts, starts + lens, vals
+
+
+class WholeWordMatchMap(WholeWordMatchSet):
+    kind = WHOLE_WORD
+    is_map = True
+
+    def __init__(self, keywords, values, case_sensitive=True, **kw):
+        super().__init__(keywords, case_sensitive, values=values, **kw)
+
+
+class WholeWordLongestMatchSet(_Matcher):
+    """Whole-word matches that may span separators (reference
+    ``WholeWordLongestMatchSet``)."""
+
+    kind = WHOLE_WORD_LONGEST
+
+    def __init__(self, keywords, case_sensitive=True, *, word_chars=None, toggle_flags=None, **kw):
+        word_chars = _resolve_word_chars(word_chars, toggle_flags)
+        super().__init__(keywords, case_sensitive, word_chars=word_chars, **kw)
+
+    def _device_triples(self, cls):
+        import jax.numpy as jnp
+
+        from ahocorasick_tpu.ops import scan_wwl
+
+        from ahocorasick_tpu.ops import scan_pfac
+
+        m = self.compiled
+        d = _bucket_depth(m.max_depth)
+        cls_p = scan_pfac.pad_classes(cls, d + 1, bucket=_LANE_BUCKET)
+        die_pos, has, ms, me, mv = scan_wwl.wwl_walks(
+            self.dev.trie_next,
+            self.dev.own_len,
+            self.dev.own_val,
+            self.dev.fail_len,
+            self.dev.fail_off,
+            self.dev.fail_val,
+            self.dev.class_is_word,
+            jnp.asarray(cls_p),
+            d,
+        )
+        is_word = np.asarray(m.class_is_word)[cls]
+        ws = word_starts(is_word)
+        trip = follow_chain(
+            np.asarray(die_pos), np.asarray(has), np.asarray(ms), np.asarray(me),
+            np.asarray(mv), ws, len(cls),
+        )
+        if not trip:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z.copy()
+        a = np.asarray(trip, dtype=np.int64)
+        return a[:, 0], a[:, 1], a[:, 2]
+
+
+class WholeWordLongestMatchMap(WholeWordLongestMatchSet):
+    kind = WHOLE_WORD_LONGEST
+    is_map = True
+
+    def __init__(self, keywords, values, case_sensitive=True, **kw):
+        super().__init__(keywords, case_sensitive, values=values, **kw)
+
+
+def _resolve_word_chars(word_chars, toggle_flags):
+    """Reference constructor overloads (WholeWordMatchSet.java:16-45)."""
+    if word_chars is None:
+        return None  # compiler installs the default table
+    if isinstance(word_chars, np.ndarray) and word_chars.dtype == bool:
+        return word_chars
+    if toggle_flags is not None:
+        return chartables.word_chars_with_toggles(word_chars, toggle_flags)
+    return chartables.word_chars_from_list(word_chars)

@@ -1,0 +1,82 @@
+"""Whole-word-longest parallel walk engine.
+
+``WholeWordLongestMatchSet.match`` (reference :47-178) restarts its trie walk
+at a position that depends on where the *previous* walk died — an inherently
+sequential chain.  The TPU decomposition: compute, for **every** lane in
+parallel, the full outcome of "a walk starting here": the die position, and
+the single match that walk would emit (own match or carried fail match per
+the reference's rules).  The sequential chain then reduces to following a
+precomputed ``next_start`` pointer array on the host (``resolve/wholeword.py``)
+— one gather per executed walk instead of one per character.
+
+Walk outcome rules (mirroring the reference loop exactly):
+
+* the walk dies at the first char with no trie transition (state DEAD);
+* die char non-word: emit own match if any, else the carried fail match;
+* die char word: emit only the carried fail match (the word is unfinished);
+* end of input: own-else-fail — falls out automatically because the pad
+  class is a non-word dead end.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def wwl_walks(
+    trie_next: jax.Array,  # int32[S+1, A]
+    own_len: jax.Array,  # int32[S+1]
+    own_val: jax.Array,  # int32[S+1]
+    fail_len: jax.Array,  # int32[S+1]
+    fail_off: jax.Array,  # int32[S+1]
+    fail_val: jax.Array,  # int32[S+1]
+    class_is_word: jax.Array,  # bool[A]
+    cls_padded: jax.Array,  # int32[N + max_depth + 1], pad = non-word class 0
+    max_depth: int,
+):
+    """Per-lane walk outcomes.
+
+    Returns ``(die_pos, has_match, m_start, m_end, m_val)`` — all int32[N]
+    (``has_match`` bool), where ``die_pos`` is the absolute index of the char
+    that killed the walk starting at lane ``i``.
+    """
+    n = cls_padded.shape[0] - max_depth - 1
+    dead = jnp.int32(trie_next.shape[0] - 1)
+
+    # Every walk dies within max_depth+1 steps: a live state at step k sits at
+    # trie depth k, and the trie has no nodes deeper than max_depth.
+    def body(k, carry):
+        states, k_die, s_last = carry
+        chars = lax.dynamic_slice(cls_padded, (k,), (n,))
+        nxt = trie_next[states, chars]
+        newly = (k_die < 0) & (nxt == dead)
+        k_die = jnp.where(newly, k, k_die)
+        s_last = jnp.where(newly, states, s_last)
+        return nxt, k_die, s_last
+
+    init = (
+        jnp.zeros((n,), dtype=jnp.int32),
+        jnp.full((n,), -1, dtype=jnp.int32),
+        jnp.zeros((n,), dtype=jnp.int32),
+    )
+    _, k_die, s_last = lax.fori_loop(0, max_depth + 1, body, init)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
+    die_pos = lane + k_die
+    die_cls = cls_padded[die_pos]
+    die_word = class_is_word[die_cls]
+
+    own = own_len[s_last]
+    fl = fail_len[s_last]
+    has_own = (own > 0) & ~die_word
+    has_fail = (fl > 0) & (die_word | (own == 0))
+    end = jnp.where(has_own, die_pos, die_pos - fail_off[s_last])
+    length = jnp.where(has_own, own, fl)
+    val = jnp.where(has_own, own_val[s_last], fail_val[s_last])
+    has = has_own | has_fail
+    return die_pos, has, end - length, end, val

@@ -1,0 +1,150 @@
+"""Data-parallel sharded scanning over a device mesh.
+
+The corpus is sharded across the ``data`` mesh axis; the compiled tables are
+replicated (they are read-only and small next to the text).  Because PFAC
+lanes read at most ``max_depth - 1`` characters past their own position, the
+only cross-device dependency is a right-halo of ``max_depth`` classes,
+exchanged on-device with ``lax.ppermute`` over ICI — no host gathers.  The
+last shard's missing halo arrives as zeros, which is exactly ``PAD_CLASS``.
+
+Counts reduce with ``psum``; bitplanes stay shard-local (out_spec sharded on
+the lane axis) so variable-length match extraction never moves ragged data
+across devices — global offsets are just shard offsets, mirroring the
+reference's observation that matches are chunk-local once entry state is
+known (``AhoCorasickMap.java:208-275``).
+
+On a multi-host slice the same code runs under ``jax.distributed`` with the
+mesh spanning hosts; ``psum`` rides ICI within a slice and DCN across
+slices.  Tests exercise the mesh on virtual CPU devices.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ahocorasick_tpu.core.compiler import CompiledMatcher
+from ahocorasick_tpu.ops import emit, scan_pfac
+
+
+def data_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, (axis,))
+
+
+def _shard_pad(cls: np.ndarray, n_dev: int, max_depth: int) -> Tuple[np.ndarray, int]:
+    """Pad so shards are equal and at least one halo long."""
+    n = len(cls)
+    chunk = -(-max(n, 1) // n_dev)
+    chunk = max(chunk, max_depth)
+    total = chunk * n_dev
+    return np.pad(cls, (0, total - n), constant_values=scan_pfac.PAD_CLASS), chunk
+
+
+def _right_halo(cls_local: jax.Array, max_depth: int, axis: str, n_dev: int) -> jax.Array:
+    """First ``max_depth`` classes of the right neighbor (zeros past the end)."""
+    halo_src = lax.slice_in_dim(cls_local, 0, max_depth)
+    # dest i receives from source i+1; the last device receives zeros.
+    perm = [(i + 1, i) for i in range(n_dev - 1)]
+    return lax.ppermute(halo_src, axis, perm)
+
+
+def sharded_count(
+    m: CompiledMatcher,
+    trie_next: jax.Array,
+    is_match: jax.Array,
+    cls: np.ndarray,
+    mesh: Mesh,
+) -> int:
+    """Total match count for the AC kinds across the mesh."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    d = max(m.max_depth, 1)
+    cls_p, chunk = _shard_pad(cls, n_dev, d)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None), P(None), P(axis)),
+        out_specs=P(),
+    )
+    def run(trie, ism, cls_local):
+        halo = _right_halo(cls_local, d, axis, n_dev)
+        local = jnp.concatenate([cls_local, halo])
+        return lax.psum(scan_pfac.pfac_count(trie, ism, local, d), axis)
+
+    return int(run(trie_next, is_match, jnp.asarray(cls_p.astype(np.int32))))
+
+
+def sharded_bitplanes(
+    m: CompiledMatcher,
+    trie_next: jax.Array,
+    is_match: jax.Array,
+    cls: np.ndarray,
+    mesh: Mesh,
+    num_planes: int,
+) -> np.ndarray:
+    """Match bitplanes (planes, N_padded), lane axis sharded across devices."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    d = max(m.max_depth, 1)
+    cls_p, chunk = _shard_pad(cls, n_dev, d)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None), P(None), P(axis)),
+        out_specs=P(None, axis),
+    )
+    def run(trie, ism, cls_local):
+        halo = _right_halo(cls_local, d, axis, n_dev)
+        local = jnp.concatenate([cls_local, halo])
+        return scan_pfac.pfac_bitplanes(trie, ism, local, d, num_planes)
+
+    return np.asarray(run(trie_next, is_match, jnp.asarray(cls_p.astype(np.int32))))
+
+
+class ShardedScanner:
+    """Data-parallel façade over a compiled AC-kind matcher.
+
+    ``count`` is an all-device reduction; ``match_triples`` extracts exact
+    global triples from shard-local bitplanes.
+    """
+
+    def __init__(self, matcher, mesh: Optional[Mesh] = None):
+        self.matcher = matcher
+        self.mesh = mesh if mesh is not None else data_mesh()
+
+    def count(self, text: str) -> int:
+        cls = self.matcher._classes(text)
+        return sharded_count(
+            self.matcher.compiled, self.matcher.dev.trie_next, self.matcher.dev.is_match,
+            cls, self.mesh,
+        )
+
+    def match_triples(self, text: str):
+        m = self.matcher.compiled
+        cls = self.matcher._classes(text)
+        d = max(m.max_depth, 1)
+        planes = (d + 31) // 32
+        bits = sharded_bitplanes(
+            m, self.matcher.dev.trie_next, self.matcher.dev.is_match, cls, self.mesh, planes
+        )
+        bits = bits[:, : len(cls)]
+        triples = emit.ac_matches(m, cls, bits)
+        if m.kind == "longest":
+            from ahocorasick_tpu.resolve.queue import resolve_longest
+
+            return resolve_longest(*triples)
+        return triples

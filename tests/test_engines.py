@@ -1,0 +1,137 @@
+"""Device engines vs gold model: bit-identical triples on the full battery."""
+
+import random
+
+import numpy as np
+import pytest
+
+import ahocorasick_tpu as act
+from ahocorasick_tpu.core import gold
+
+
+def random_strings(rng, count, min_len=1, max_len=8, alphabet="abcdef ghij"):
+    return [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(min_len, max_len)))
+        for _ in range(count)
+    ]
+
+
+SET_CLASSES = [
+    act.AhoCorasickSet,
+    act.LongestMatchSet,
+    act.ShortestMatchSet,
+    act.WholeWordMatchSet,
+    act.WholeWordLongestMatchSet,
+]
+
+MAP_CLASSES = [
+    act.AhoCorasickMap,
+    act.LongestMatchMap,
+    act.ShortestMatchMap,
+    act.WholeWordMatchMap,
+    act.WholeWordLongestMatchMap,
+]
+
+
+def make_set(cls, keywords, case_sensitive, engine):
+    return cls(keywords, case_sensitive, engine=engine)
+
+
+def triples(matcher, text):
+    s, e, v = matcher.match_triples(text)
+    return list(zip(s.tolist(), e.tolist(), v.tolist()))
+
+
+def gold_triples(matcher, text):
+    return [(int(a), int(b), int(c)) for a, b, c in gold.gold_match(matcher.compiled, text)]
+
+
+CASES = [
+    (["a", "ab", "abc", "bc", "c"], "abcabc xabcx ccc"),
+    (["he", "she", "his", "hers"], "ushers and his and hers"),
+    (["aaaa", "aaa", "aa", "a"], "aaaaaaaaaa"),
+    (["in", "inn", "nk"], "the innkeeper went in"),
+    (["foo"], ""),
+    (["go", "going", "gone"], "go going gone goner"),
+]
+
+
+@pytest.mark.parametrize("cs", [True, False])
+@pytest.mark.parametrize("cls_idx", range(len(SET_CLASSES)))
+@pytest.mark.parametrize("keywords,text", CASES)
+def test_set_device_matches_gold(cls_idx, keywords, text, cs):
+    cls = SET_CLASSES[cls_idx]
+    if cls is act.WholeWordMatchSet:
+        keywords = [k.replace(" ", "x") for k in keywords]
+    m = make_set(cls, keywords, cs, "device")
+    assert triples(m, text) == gold_triples(m, text)
+
+
+@pytest.mark.parametrize("cls_idx", range(len(SET_CLASSES)))
+def test_set_device_matches_gold_fuzz(cls_idx):
+    cls = SET_CLASSES[cls_idx]
+    rng = random.Random(42 + cls_idx)
+    for trial in range(15):
+        alphabet = rng.choice(["ab", "abc ", "abcdef -_."])
+        kws = random_strings(rng, rng.randint(1, 60), 1, 6, alphabet)
+        if cls is act.WholeWordMatchSet:
+            kws = [k.replace(" ", "y").replace(".", "z") for k in kws]
+        text = "".join(random_strings(rng, 80, 1, 6, alphabet))
+        m = make_set(cls, kws, trial % 2 == 0, "device")
+        assert triples(m, text) == gold_triples(m, text), (kws, text)
+
+
+def test_long_keywords_multi_plane():
+    # >32-length keywords exercise multiple bitplanes.
+    kws = ["a" * n for n in range(1, 101)]
+    text = "a" * 230 + "b" + "a" * 50
+    m = act.AhoCorasickSet(kws, True, engine="device")
+    assert triples(m, text) == gold_triples(m, text)
+
+
+@pytest.mark.parametrize("cls_idx", range(len(MAP_CLASSES)))
+def test_map_values(cls_idx):
+    cls = MAP_CLASSES[cls_idx]
+    kws = ["he", "she", "hers", "ab", "abc"]
+    vals = [f"v{i}" for i in range(len(kws))]
+    m = cls(kws, vals, True, engine="device")
+    out = m.match("ushers ab abc")
+    gold_out = gold.gold_match(m.compiled, "ushers ab abc")
+    expect = [(s, e, m.compiled.values[v]) for s, e, v in gold_out]
+    assert out == expect
+
+
+def test_listener_early_stop():
+    m = act.AhoCorasickSet(["a"], True, engine="gold")
+    seen = []
+
+    def listener(hay, s, e):
+        seen.append((s, e))
+        return len(seen) < 2
+
+    m.match("aaaa", listener)
+    assert seen == [(0, 1), (1, 2)]
+
+
+def test_map_listener_gets_values():
+    m = act.AhoCorasickMap(["ab"], [123], True, engine="gold")
+    got = []
+    m.match("xabx", lambda hay, s, e, v: got.append((s, e, v)))
+    assert got == [(1, 3, 123)]
+
+
+def test_set_returns_pairs():
+    m = act.AhoCorasickSet(["ab"], True)
+    assert m.match("xabx") == [(1, 3)]
+
+
+def test_whole_word_custom_chars_device():
+    wc = act.chartables.word_chars_with_toggles(["-"], [False])
+    m = act.WholeWordMatchSet(["go"], True, word_chars=wc, engine="device")
+    # '-' is no longer a word char, so "go-x" contains whole word "go".
+    assert m.match("go-x go") == [(0, 2), (5, 7)]
+
+
+def test_count_matches_len():
+    m = act.LongestMatchSet(["ab", "abc"], True, engine="device")
+    assert m.count("abcab") == 2

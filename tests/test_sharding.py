@@ -1,0 +1,64 @@
+"""Sharded scanning on the simulated 8-device CPU mesh: exact vs single-device."""
+
+import random
+
+import numpy as np
+import pytest
+
+import ahocorasick_tpu as act
+from ahocorasick_tpu.core import gold
+from ahocorasick_tpu.parallel.sharding import ShardedScanner, data_mesh
+
+
+def test_mesh_has_8_devices():
+    import jax
+
+    assert len(jax.devices()) == 8
+
+
+def _random_text(rng, n, alphabet="abcdef "):
+    return "".join(rng.choice(alphabet) for _ in range(n))
+
+
+def test_sharded_count_matches_gold():
+    rng = random.Random(21)
+    kws = ["ab", "abc", "fed", "caf", "e"]
+    text = _random_text(rng, 5000)
+    m = act.AhoCorasickSet(kws, True, engine="device")
+    sc = ShardedScanner(m, data_mesh())
+    assert sc.count(text) == len(gold.gold_ac(m.compiled, text))
+
+
+def test_sharded_triples_match_gold():
+    rng = random.Random(22)
+    kws = ["aa", "ab", "abc", "bcd", "dd"]
+    text = _random_text(rng, 3000, "abcd")
+    m = act.AhoCorasickSet(kws, True, engine="device")
+    sc = ShardedScanner(m, data_mesh())
+    s, e, v = sc.match_triples(text)
+    got = list(zip(s.tolist(), e.tolist()))
+    want = [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
+    assert got == want
+
+
+def test_sharded_cross_boundary_matches():
+    # A keyword spanning every shard boundary: halo exchange must catch it.
+    n_dev = 8
+    kws = ["xyzw"]
+    seg = "a" * 97  # deliberately not divisible by n_dev
+    text = ("xyzw" + seg) * (n_dev + 3)
+    m = act.AhoCorasickSet(kws, True, engine="device")
+    sc = ShardedScanner(m, data_mesh())
+    assert sc.count(text) == n_dev + 3
+
+
+def test_sharded_longest_resolution():
+    rng = random.Random(23)
+    kws = ["ab", "abc", "bc", "c"]
+    text = _random_text(rng, 2000, "abc")
+    m = act.LongestMatchSet(kws, True, engine="device")
+    sc = ShardedScanner(m, data_mesh())
+    s, e, v = sc.match_triples(text)
+    got = list(zip(s.tolist(), e.tolist()))
+    want = [(a, b) for a, b, _ in gold.gold_longest(m.compiled, text)]
+    assert got == want
