@@ -1,0 +1,110 @@
+"""Headline benchmark: PFAC scan throughput on one chip.
+
+Config (BASELINE.json config #2 scale): 10k seeded English-like keywords,
+case-sensitive set matcher, 32 Mi UTF-16 units (64 MiB) of synthetic text,
+device-resident classes, empty-listener analog (total match count on
+device).  Prints ONE JSON line.
+
+``vs_baseline``: the reference README reports 3.6 us to full-match one
+English paragraph with an empty listener (README.md:148, 235,886-word
+dictionary, ~2015 JVM).  Taking a paragraph as ~700 UTF-16 units gives
+~0.19 G units/s = ~0.39 GB/s; we use 0.4 GB/s as the reference-throughput
+denominator.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_GBPS = 0.4
+
+N_KEYWORDS = 10_000
+TEXT_UNITS = 1 << 25  # 32 Mi units = 64 MiB UTF-16
+SEED = 20260817
+
+
+def make_dictionary(rng: np.random.Generator, n: int) -> list:
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    freqs = np.array([8.2, 1.5, 2.8, 4.3, 12.7, 2.2, 2.0, 6.1, 7.0, 0.2, 0.8, 4.0,
+                      2.4, 6.7, 7.5, 1.9, 0.1, 6.0, 6.3, 9.1, 2.8, 1.0, 2.4, 0.2,
+                      2.0, 0.1])
+    p = freqs / freqs.sum()
+    words = set()
+    while len(words) < n:
+        length = int(rng.integers(3, 13))
+        words.add("".join(rng.choice(letters, size=length, p=p)))
+    return sorted(words)
+
+
+def make_text_classes(m, rng: np.random.Generator, n_units: int) -> np.ndarray:
+    """Synthetic text in compact-class space: seeded word soup.
+
+    Built directly in class space (avoiding a giant Python string): words
+    drawn from the dictionary's own class sequences (so there are real
+    matches) mixed with random in-alphabet noise words, separated by the
+    class of ' '.
+    """
+    sep = int(m.compiled.charmap[ord(" ")])
+    out = np.empty(n_units + 16, dtype=np.int32)
+    pos = 0
+    classes = np.arange(2, m.compiled.num_classes, dtype=np.int32)
+    kws = getattr(m, "_bench_keywords")
+    kw_cls = [m.compiled.charmap[np.frombuffer(kw.encode("utf-16-le"), dtype=np.uint16).astype(np.int64)]
+              for kw in rng.choice(kws, size=512)]
+    while pos < n_units:
+        if rng.random() < 0.10:
+            w = kw_cls[int(rng.integers(len(kw_cls)))]
+        else:
+            w = rng.choice(classes, size=int(rng.integers(3, 11)))
+        k = min(len(w), n_units + 16 - pos)
+        out[pos : pos + k] = w[:k]
+        pos += k
+        if pos < n_units + 16:
+            out[pos] = sep
+            pos += 1
+    return out[:n_units]
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+    from ahocorasick_tpu.ops import scan_pfac
+
+    rng = np.random.default_rng(SEED)
+    keywords = make_dictionary(rng, N_KEYWORDS)
+
+    m = AhoCorasickSet(keywords, engine="device")
+    m._bench_keywords = keywords
+    d = max(len(k) for k in keywords)
+
+    cls = make_text_classes(m, rng, TEXT_UNITS)
+    cls_p = scan_pfac.pad_classes(cls, d, bucket=1024).astype(np.int32)
+    cls_dev = jax.device_put(jnp.asarray(cls_p))
+
+    # Warmup (compile) + correctness guard: count must be positive.
+    total = int(scan_pfac.pfac_count(m.dev.trie_next, m.dev.is_match, cls_dev, d))
+    assert total > 0, "benchmark text produced zero matches"
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        scan_pfac.pfac_count(m.dev.trie_next, m.dev.is_match, cls_dev, d).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    gbps = (TEXT_UNITS * 2) / dt / 1e9
+    print(json.dumps({
+        "metric": "pfac_scan_throughput",
+        "value": round(gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / REFERENCE_GBPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
