@@ -205,6 +205,46 @@ class _Matcher:
             return [(int(s), int(e), values[v]) for s, e, v in zip(starts, ends, vals)]
         return [(int(s), int(e)) for s, e in zip(starts, ends)]
 
+    # ------------------------------ streaming ------------------------------ #
+
+    def match_stream(self, source, listener: Optional[Callable] = None, *, chunk_units=None):
+        """Scan an unbounded stream (file-like ``read(n)`` or str iterable).
+
+        Output equals String-mode ``match`` with global UTF-16 offsets, for
+        any chunking (see ``core/stream.py``).  With a listener
+        (``(start, end[, value]) -> bool``), matches are delivered as they
+        finalize and a ``False`` return stops reading; otherwise the full
+        list is returned.
+        """
+        from ahocorasick_tpu.core.stream import StreamScanner
+
+        scanner = StreamScanner(self.compiled, chunk_units)
+        values = self.compiled.values
+        if listener is None:
+            if self.is_map:
+                return [(s, e, values[v]) for s, e, v in scanner.scan(source)]
+            return [(s, e) for s, e, _ in scanner.scan(source)]
+        for s, e, v in scanner.scan(source):
+            res = listener(s, e, values[v]) if self.is_map else listener(s, e)
+            if res is False:
+                break
+        return None
+
+    def match_readable(self, source, listener: Callable, *, chunk_units=None):
+        """Reference ``StringMap.match(Readable, ReadableMatchListener)``:
+        the listener receives values only (``StringMap.java:6``,
+        ``ReadableMatchListener.java:4-9``); ``False`` stops the run."""
+        if not self.is_map:
+            raise TypeError("match_readable is a map-matcher API (values-only)")
+        from ahocorasick_tpu.core.stream import StreamScanner
+
+        scanner = StreamScanner(self.compiled, chunk_units)
+        values = self.compiled.values
+        for _, _, v in scanner.scan(source):
+            if listener(values[v]) is False:
+                break
+        return None
+
 
 # --------------------------------------------------------------------------- #
 # Device engine mixins per kind

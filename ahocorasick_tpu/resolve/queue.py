@@ -78,6 +78,21 @@ class MatchQueue:
         self._starts, self._ends, self._vals = [], [], []
         return out
 
+    def flush(self, purge_to: int) -> List[Match]:
+        """Remove and return queued matches with ``end <= purge_to``.
+
+        The reference's ``matchAndClear(..., purgeToIndex)`` semantics
+        (``SetMatchQueue.java:19-42``): queued matches are non-overlapping
+        and start/end ascending, so this is a prefix split.
+        """
+        k = 0
+        ends = self._ends
+        while k < len(ends) and ends[k] <= purge_to:
+            k += 1
+        out = list(zip(self._starts[:k], self._ends[:k], self._vals[:k]))
+        del self._starts[:k], self._ends[:k], self._vals[:k]
+        return out
+
 
 def resolve_longest(
     starts: np.ndarray, ends: np.ndarray, vals: np.ndarray

@@ -1,0 +1,134 @@
+"""Streaming conformance: stream output == String-mode output, any chunking.
+
+Models the reference's ``MapTest`` stream/String cross-check
+(``MapTest.java:178-188``) but strengthens it per SURVEY.md §4: tiny buffer
+sizes exercise chunk boundaries (the reference never did — its haystacks fit
+one 4096-char buffer), positions are compared (not just counts), and the
+``ShortestMatchMap`` boundary double-report quirk is pinned to the *fixed*
+behavior (String mode is the spec).
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from ahocorasick_tpu.models.matchers import (
+    AhoCorasickMap,
+    AhoCorasickSet,
+    LongestMatchSet,
+    ShortestMatchMap,
+    ShortestMatchSet,
+    WholeWordLongestMatchSet,
+    WholeWordMatchSet,
+)
+
+SET_CLASSES = [
+    AhoCorasickSet,
+    LongestMatchSet,
+    ShortestMatchSet,
+    WholeWordMatchSet,
+    WholeWordLongestMatchSet,
+]
+
+KEYWORDS = {
+    AhoCorasickSet: ["he", "she", "his", "hers", "ab", "abab", "x"],
+    LongestMatchSet: ["he", "she", "hers", "herself", "ab", "abab", "aba"],
+    ShortestMatchSet: ["she", "he", "hers", "abab", "x"],
+    WholeWordMatchSet: ["he", "she", "hers", "abab", "stand"],
+    WholeWordLongestMatchSet: ["as", "as if", "as if by", "he", "she said", "stand up"],
+}
+
+TEXT = (
+    "she said he stands as if by magic ababab x hers herself stand up "
+    "as ifx as   if he she said stand up now abab she"
+) * 3
+
+
+def _word_soup(rng, n_words):
+    alpha = "abchers xyif"
+    out = []
+    for _ in range(n_words):
+        L = int(rng.integers(1, 9))
+        out.append("".join(rng.choice(list(alpha), size=L)))
+    return " ".join(out)
+
+
+@pytest.mark.parametrize("cls_idx", range(len(SET_CLASSES)))
+@pytest.mark.parametrize("chunk", [1, 2, 3, 7, 16, 4096])
+def test_stream_equals_string(cls_idx, chunk):
+    cls = SET_CLASSES[cls_idx]
+    m = cls(KEYWORDS[cls], engine="gold")
+    expected = m.match(TEXT)
+    got = m.match_stream(io.StringIO(TEXT), chunk_units=chunk)
+    assert got == expected
+
+
+@pytest.mark.parametrize("cls_idx", range(len(SET_CLASSES)))
+def test_stream_fuzz_random_chunking(cls_idx):
+    cls = SET_CLASSES[cls_idx]
+    rng = np.random.default_rng(1234 + cls_idx)
+    for trial in range(20):
+        kws = KEYWORDS[cls]
+        text = _word_soup(rng, int(rng.integers(5, 80)))
+        m = cls(kws, engine="gold")
+        expected = m.match(text)
+        # Random irregular chunking via an iterable source.
+        pieces = []
+        i = 0
+        while i < len(text):
+            k = int(rng.integers(1, 12))
+            pieces.append(text[i : i + k])
+            i += k
+        got = m.match_stream(pieces)
+        assert got == expected, (trial, text)
+
+
+def test_stream_empty():
+    m = AhoCorasickSet(["a"], engine="gold")
+    assert m.match_stream(io.StringIO("")) == []
+
+
+def test_stream_listener_early_stop():
+    m = AhoCorasickSet(["a"], engine="gold")
+    seen = []
+
+    def listener(s, e):
+        seen.append((s, e))
+        return len(seen) < 2
+
+    m.match_stream(io.StringIO("aaaa"), listener, chunk_units=1)
+    assert seen == [(0, 1), (1, 2)]
+
+
+def test_match_readable_values_only():
+    m = AhoCorasickMap(["he", "she"], ["H", "S"], engine="gold")
+    got = []
+    m.match_readable(io.StringIO("she heh"), lambda v: got.append(v))
+    assert got == ["S", "H", "H"]
+
+
+def test_match_readable_rejected_on_sets():
+    m = AhoCorasickSet(["he"], engine="gold")
+    with pytest.raises(TypeError):
+        m.match_readable(io.StringIO("he"), lambda v: True)
+
+
+def test_shortest_boundary_single_report():
+    """The reference stream mode double-reports a match pending exactly at a
+    buffer boundary (ShortestMatchMap.java:241-249,280-288); we report once,
+    matching String mode (documented divergence, SURVEY.md §4)."""
+    m = ShortestMatchMap(["ab"], [1], engine="gold")
+    text = "ab" * 8
+    expected = m.match(text)
+    for chunk in (1, 2, 3):
+        assert m.match_stream(io.StringIO(text), chunk_units=chunk) == expected
+
+
+def test_stream_long_keyword_spanning_many_chunks():
+    kw = "a" * 50
+    m = LongestMatchSet([kw, "aa"], engine="gold")
+    text = "b" + "a" * 120 + "b" + "a" * 3
+    expected = m.match(text)
+    got = m.match_stream(io.StringIO(text), chunk_units=7)
+    assert got == expected
