@@ -148,15 +148,33 @@ def compile_matcher(
     case_sensitive: bool,
     values: Optional[Iterable] = None,
     word_chars: Optional[np.ndarray] = None,
+    backend: str = "auto",
 ) -> CompiledMatcher:
     """Compile a keyword list into dense automaton tables.
 
     ``values``: optional per-keyword payloads (map variants).  ``word_chars``:
     bool[65536] for whole-word kinds (defaults to the reference's default
-    word-character set).
+    word-character set).  ``backend``: ``"auto"`` uses the native (C++)
+    compiler when available for the fail-link kinds, ``"python"``/``"native"``
+    force one; outputs are byte-identical either way (parity-tested).
     """
     if kind not in KINDS:
         raise ValueError(f"unknown matcher kind {kind!r}")
+    if backend not in ("auto", "python", "native"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if backend != "python" and kind in (AC, LONGEST, SHORTEST):
+        try:
+            from ahocorasick_tpu.native import lib as native_lib
+
+            native_ok = native_lib.available()
+        except Exception:
+            native_ok = False
+        if native_ok:
+            return _compile_native(keywords, kind, case_sensitive, values)
+        if backend == "native":
+            raise RuntimeError("native compiler backend unavailable")
+    elif backend == "native":
+        raise ValueError(f"native backend does not support kind {kind!r}")
     whole_word = kind in (WHOLE_WORD, WHOLE_WORD_LONGEST)
     if whole_word and word_chars is None:
         word_chars = chartables.default_word_chars()
@@ -204,6 +222,82 @@ def compile_matcher(
         max_depth = max(max_depth, len(units))
 
     return _finalize(trie, kind, case_sensitive, value_list, word_chars, max_depth)
+
+
+def _compile_native(
+    keywords: Iterable[str],
+    kind: str,
+    case_sensitive: bool,
+    values: Optional[Iterable],
+) -> CompiledMatcher:
+    """Native (C++) compile path: pack keywords, run ac_native, assemble.
+
+    Byte-identical outputs to the Python path (tests/test_native.py); the
+    difference is host compile speed on large dictionaries.  Keywords are
+    materialized here (the Python path streams them) — acceptable because
+    the native path exists precisely for big in-memory dictionaries.
+    """
+    from ahocorasick_tpu.native import lib as native_lib
+
+    if values is None:
+        kws = [k for k in keywords if k is not None]
+        vals: Optional[list] = None
+    else:
+        pairs = [(k, v) for k, v in zip(keywords, values) if k is not None]
+        kws = [k for k, _ in pairs]
+        vals = [v for _, v in pairs]
+
+    joined = "".join(kws)
+    units_all = chartables.to_utf16_units(joined).astype(np.uint16)
+    lens = np.fromiter(map(len, kws), dtype=np.int64, count=len(kws))
+    if int(lens.sum()) != len(units_all):  # non-BMP chars present
+        lens = np.fromiter(
+            (len(chartables.to_utf16_units(k)) for k in kws),
+            dtype=np.int64,
+            count=len(kws),
+        )
+    offsets = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+    if not case_sensitive:
+        units_all = chartables.lower_table()[units_all]
+
+    t = native_lib.compile_tables(units_all, offsets, kind, values is not None)
+
+    accepted = t["accepted"].astype(bool)
+    value_list = None
+    if vals is not None:
+        value_list = [v for v, a in zip(vals, accepted) if a]
+    max_depth = int(lens[accepted].max()) if accepted.any() else 0
+
+    lower = chartables.lower_table()
+    eff = np.arange(65536, dtype=np.int64) if case_sensitive else lower.astype(np.int64)
+    charmap = t["class_of_unit"][eff]
+
+    return CompiledMatcher(
+        kind=kind,
+        case_sensitive=case_sensitive,
+        num_states=t["num_states"],
+        num_classes=t["num_classes"],
+        charmap=charmap,
+        class_is_word=None,
+        trie_next=t["trie_next"],
+        dfa_next=t["dfa_next"],
+        fail=t["fail"],
+        own_len=t["own_len"],
+        own_val=t["own_val"],
+        match_len=t["match_len"],
+        match_val=t["match_val"],
+        depth=t["depth"],
+        emit_start=t["emit_start"],
+        emit_count=t["emit_count"],
+        emit_len=t["emit_len"],
+        emit_val=t["emit_val"],
+        fail_len=None,
+        fail_off=None,
+        fail_val=None,
+        word_chars=None,
+        values=value_list,
+        max_depth=max_depth,
+    )
 
 
 def _build_alphabet(trie: _Trie, case_sensitive: bool, word_chars: Optional[np.ndarray]):

@@ -1,0 +1,165 @@
+"""ctypes bindings for the native host compiler (``src/ac_native.cpp``).
+
+Every entry point has a pure-Python fallback at its call site; importing
+this module never raises on a missing toolchain — check ``available()``.
+Set ``AHOCORASICK_TPU_NO_NATIVE=1`` to disable the native path entirely.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("AHOCORASICK_TPU_NO_NATIVE"):
+        _lib = False
+        return _lib
+    try:
+        from ahocorasick_tpu.native.build import build
+
+        path = build()
+        lib = ctypes.CDLL(path)
+    except Exception:
+        _lib = False
+        return _lib
+
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+
+    lib.ac_build.restype = ctypes.c_void_p
+    lib.ac_build.argtypes = [u16p, i64p, ctypes.c_int64, ctypes.c_int,
+                             ctypes.c_int]
+    lib.ac_num_states.restype = ctypes.c_int64
+    lib.ac_num_states.argtypes = [ctypes.c_void_p]
+    lib.ac_num_classes.restype = ctypes.c_int32
+    lib.ac_num_classes.argtypes = [ctypes.c_void_p]
+    lib.ac_get_build_meta.restype = None
+    lib.ac_get_build_meta.argtypes = [ctypes.c_void_p, i32p, u8p]
+    lib.ac_finalize.restype = ctypes.c_int64
+    lib.ac_finalize.argtypes = [ctypes.c_void_p] + [i32p] * 10
+    lib.ac_get_emits.restype = None
+    lib.ac_get_emits.argtypes = [ctypes.c_void_p, i32p, i32p]
+    lib.ac_free.restype = None
+    lib.ac_free.argtypes = [ctypes.c_void_p]
+    lib.ac_follow_chain.restype = ctypes.c_int64
+    lib.ac_follow_chain.argtypes = [i64p, u8p, i64p, i64p, i64p, i64p,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    i64p, i64p, i64p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not False
+
+
+def _ptr(arr: Optional[np.ndarray], ctype):
+    if arr is None:
+        return None
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+_KIND_CODE = {"ac": 0, "longest": 1, "shortest": 2}
+
+
+def compile_tables(units: np.ndarray, offsets: np.ndarray, kind: str,
+                   with_values: bool, build_dfa: bool = True) -> dict:
+    """Run the native compiler; returns a dict of numpy arrays.
+
+    ``units``: uint16 concatenated folded keyword units; ``offsets``:
+    int64[n+1].  Output arrays are byte-identical to the Python compiler's
+    (parity-tested in tests/test_native.py).  Large tables are written by
+    the native code directly into huge-page-backed numpy buffers — one
+    first-touch per page (see utils/alloc.py for why that matters).
+    """
+    from ahocorasick_tpu.utils.alloc import big_empty
+
+    lib = _load()
+    assert lib, "native library unavailable"
+    units = np.ascontiguousarray(units, dtype=np.uint16)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    h = lib.ac_build(
+        _ptr(units, ctypes.c_uint16),
+        _ptr(offsets, ctypes.c_int64),
+        ctypes.c_int64(n), _KIND_CODE[kind], int(with_values),
+    )
+    if not h:
+        raise MemoryError("ac_build failed")
+    try:
+        S = lib.ac_num_states(h)
+        A = lib.ac_num_classes(h)
+        has_emit = kind in ("ac", "longest")
+        out = {
+            "num_states": int(S),
+            "num_classes": int(A),
+            "class_of_unit": np.empty(65536, dtype=np.int32),
+            "trie_next": big_empty((S + 1, A), np.int32),
+            "dfa_next": big_empty((S, A), np.int32) if build_dfa else None,
+            "fail": big_empty(S, np.int32),
+            "own_len": big_empty(S + 1, np.int32),
+            "own_val": big_empty(S + 1, np.int32),
+            "match_len": big_empty(S + 1, np.int32),
+            "match_val": big_empty(S + 1, np.int32),
+            "depth": big_empty(S + 1, np.int32),
+            "emit_start": big_empty(S + 1, np.int32) if has_emit else None,
+            "emit_count": big_empty(S + 1, np.int32) if has_emit else None,
+            "accepted": np.empty(max(n, 1), dtype=np.uint8),
+        }
+        i32 = ctypes.c_int32
+        lib.ac_get_build_meta(h, _ptr(out["class_of_unit"], i32),
+                              _ptr(out["accepted"], ctypes.c_uint8))
+        out["accepted"] = out["accepted"][:n]
+        E = lib.ac_finalize(
+            h, _ptr(out["trie_next"], i32), _ptr(out["dfa_next"], i32),
+            _ptr(out["fail"], i32), _ptr(out["own_len"], i32),
+            _ptr(out["own_val"], i32), _ptr(out["match_len"], i32),
+            _ptr(out["match_val"], i32), _ptr(out["depth"], i32),
+            _ptr(out["emit_start"], i32), _ptr(out["emit_count"], i32),
+        )
+        if has_emit:
+            out["emit_len"] = big_empty(max(E, 1), np.int32)
+            out["emit_val"] = big_empty(max(E, 1), np.int32)
+            lib.ac_get_emits(h, _ptr(out["emit_len"], i32),
+                             _ptr(out["emit_val"], i32))
+        else:
+            out["emit_len"] = out["emit_val"] = None
+            out["emit_start"] = out["emit_count"] = None
+        return out
+    finally:
+        lib.ac_free(h)
+
+
+def follow_chain(die_pos, has, m_start, m_end, m_val, ws, n) -> List[Tuple[int, int, int]]:
+    """Native restart-chain follower (see ``resolve/wholeword.py``)."""
+    lib = _load()
+    assert lib, "native library unavailable"
+    die_pos = np.ascontiguousarray(die_pos, dtype=np.int64)
+    has8 = np.ascontiguousarray(has, dtype=np.uint8)
+    m_start = np.ascontiguousarray(m_start, dtype=np.int64)
+    m_end = np.ascontiguousarray(m_end, dtype=np.int64)
+    m_val = np.ascontiguousarray(m_val, dtype=np.int64)
+    ws = np.ascontiguousarray(ws, dtype=np.int64)
+    cap = max(int(has8.sum()), 1)
+    out_s = np.empty(cap, dtype=np.int64)
+    out_e = np.empty(cap, dtype=np.int64)
+    out_v = np.empty(cap, dtype=np.int64)
+    i64 = ctypes.c_int64
+    k = lib.ac_follow_chain(
+        _ptr(die_pos, i64), _ptr(has8, ctypes.c_uint8), _ptr(m_start, i64),
+        _ptr(m_end, i64), _ptr(m_val, i64), _ptr(ws, i64),
+        ctypes.c_int64(len(ws)), ctypes.c_int64(int(n)),
+        _ptr(out_s, i64), _ptr(out_e, i64), _ptr(out_v, i64),
+    )
+    return list(zip(out_s[:k].tolist(), out_e[:k].tolist(), out_v[:k].tolist()))

@@ -131,6 +131,11 @@ def to_utf16_units(s: str) -> np.ndarray:
     Positions reported by every matcher are indices into this array; for
     BMP-only text they coincide with Python string indices.
     """
+    if not isinstance(s, str):
+        raise TypeError(
+            f"text must be str, got {type(s).__name__} — decode bytes before "
+            "matching (the matcher operates on UTF-16 code units, Java parity)"
+        )
     if not s:
         return np.zeros(0, dtype=np.uint16)
     return np.frombuffer(s.encode("utf-16-le"), dtype=np.uint16)

@@ -1,0 +1,128 @@
+"""Native (C++) compiler parity: byte-identical tables vs the Python path.
+
+The Python compiler is the semantic spec (itself oracle-tested against the
+reference's behavior); the native path must reproduce every output array
+bit-for-bit, including emit-table layout (which depends on BFS child
+insertion order) and shortest-kind pruning.
+"""
+
+import numpy as np
+import pytest
+
+from ahocorasick_tpu.core.compiler import AC, LONGEST, SHORTEST, compile_matcher
+
+try:
+    from ahocorasick_tpu.native import lib as native_lib
+
+    HAVE_NATIVE = native_lib.available()
+except Exception:
+    HAVE_NATIVE = False
+
+pytestmark = pytest.mark.skipif(not HAVE_NATIVE, reason="native lib unavailable")
+
+ARRAY_FIELDS = [
+    "charmap", "trie_next", "dfa_next", "fail", "own_len", "own_val",
+    "match_len", "match_val", "depth", "emit_start", "emit_count",
+    "emit_len", "emit_val",
+]
+
+
+def assert_identical(keywords, kind, case_sensitive=True, values=None):
+    py = compile_matcher(list(keywords), kind, case_sensitive,
+                         values=list(values) if values else None,
+                         backend="python")
+    nat = compile_matcher(list(keywords), kind, case_sensitive,
+                          values=list(values) if values else None,
+                          backend="native")
+    assert nat.num_states == py.num_states
+    assert nat.num_classes == py.num_classes
+    assert nat.max_depth == py.max_depth
+    for f in ARRAY_FIELDS:
+        a, b = getattr(py, f), getattr(nat, f)
+        if a is None:
+            assert b is None, f
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+    assert (py.values is None) == (nat.values is None)
+    if py.values is not None:
+        assert py.values == nat.values
+
+
+@pytest.mark.parametrize("kind", [AC, LONGEST, SHORTEST])
+def test_basic_parity(kind):
+    assert_identical(["he", "she", "his", "hers"], kind)
+
+
+@pytest.mark.parametrize("kind", [AC, LONGEST, SHORTEST])
+def test_case_insensitive_parity(kind):
+    assert_identical(["He", "SHE", "hİs"], kind, case_sensitive=False)
+
+
+def test_values_and_duplicates():
+    assert_identical(["a", "ab", "a", "b"], AC, values=[1, 2, 3, 4])
+
+
+def test_shortest_prefix_pruning_parity():
+    # Later keywords with an earlier-keyword prefix are skipped and consume
+    # no value id (ShortestMatchSet.java:23-42).
+    assert_identical(["ab", "abc", "b", "ba"], SHORTEST, values=list("wxyz"))
+
+
+def test_empty_and_none_keywords():
+    assert_identical(["", "a", "", "ab"], AC, values=[1, 2, 3, 4])
+
+
+def test_empty_dictionary():
+    assert_identical([], AC)
+
+
+def test_single_char_full_alphabet():
+    assert_identical([chr(c) for c in range(200, 360)], AC)
+
+
+@pytest.mark.parametrize("kind", [AC, LONGEST, SHORTEST])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_parity(kind, seed):
+    rng = np.random.default_rng(seed)
+    alpha = "abcdefgh"
+    for trial in range(10):
+        n = int(rng.integers(1, 60))
+        kws = [
+            "".join(rng.choice(list(alpha), size=int(rng.integers(1, 9))))
+            for _ in range(n)
+        ]
+        vals = list(range(n))
+        assert_identical(kws, kind, case_sensitive=bool(trial % 2), values=vals)
+
+
+def test_non_bmp_keywords():
+    assert_identical(["a\U0001F600b", "he"], AC)  # surrogate pair in UTF-16
+
+
+def test_follow_chain_parity():
+    from ahocorasick_tpu.resolve import wholeword
+
+    rng = np.random.default_rng(7)
+    n = 200
+    die_pos = np.sort(rng.integers(0, n, size=n)).astype(np.int64)
+    die_pos = np.maximum(die_pos, np.arange(n))  # die at/after own index
+    has = rng.random(n) < 0.3
+    ms = rng.integers(0, n, size=n).astype(np.int64)
+    me = ms + rng.integers(1, 5, size=n).astype(np.int64)
+    mv = rng.integers(-1, 5, size=n).astype(np.int64)
+    ws = np.unique(rng.integers(0, n, size=40)).astype(np.int64)
+
+    native = native_lib.follow_chain(die_pos, has, ms, me, mv, ws, n)
+
+    # Pure-python reference (the fallback branch in wholeword.follow_chain).
+    out = []
+    i = 0
+    while i < n:
+        if has[i]:
+            out.append((int(ms[i]), int(me[i]), int(mv[i])))
+        p = int(die_pos[i])
+        j = int(np.searchsorted(ws, p, side="right"))
+        if j >= len(ws):
+            break
+        i = int(ws[j])
+    assert native == out
