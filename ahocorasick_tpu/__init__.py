@@ -19,6 +19,7 @@ from ahocorasick_tpu.models.matchers import (
     WholeWordLongestMatchSet,
     WholeWordMatchMap,
     WholeWordMatchSet,
+    load_matcher,
 )
 from ahocorasick_tpu.utils import chartables
 from ahocorasick_tpu.utils.thresholds import RangeNodeThreshold, Thresholder

@@ -1,0 +1,104 @@
+"""Compiled-automaton artifacts: save/load, plus resumable scan cursors.
+
+The reference has no persistence — matchers are rebuilt from the keyword
+iterable every process start (README.md:29 advertises memory-frugal keyword
+streaming instead).  For TPU-scale dictionaries that is the wrong trade: a
+1M-keyword compile produces ~GBs of tables and takes minutes, so the
+compiled artifact is saved once and mapped thereafter.
+
+Format: a single ``.npz`` (numpy archive) holding every table plus a JSON
+header; map values are stored as JSON when possible, else pickled only when
+``allow_pickle=True`` is passed at *load* time (the flag gates reading, not
+writing, mirroring numpy's own posture).
+
+Resumable scans: ``StreamScanner`` cursors expose ``state_dict() /
+load_state_dict()`` — the stream analog of the reference's observation that
+cross-chunk state is one node pointer (``AhoCorasickMap.java:208-275``);
+here it is (state id, global offset, pending queue / tail), JSON-safe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import json
+import pickle
+from typing import Optional
+
+import numpy as np
+
+from ahocorasick_tpu.core.compiler import CompiledMatcher
+
+FORMAT_VERSION = 1
+
+_META_FIELDS = ("kind", "case_sensitive", "num_states", "num_classes", "max_depth")
+
+
+def save(m: CompiledMatcher, path) -> None:
+    """Write a compiled matcher to ``path`` (.npz)."""
+    arrays = {}
+    for f in dataclasses.fields(m):
+        v = getattr(m, f.name)
+        if isinstance(v, np.ndarray):
+            arrays[f.name] = v
+    meta = {name: getattr(m, name) for name in _META_FIELDS}
+    meta["format_version"] = FORMAT_VERSION
+    meta["has_values"] = m.values is not None
+    values_json = None
+    values_pickle = None
+    if m.values is not None:
+        try:
+            values_json = json.dumps(m.values)
+        except (TypeError, ValueError):
+            values_pickle = pickle.dumps(m.values, protocol=4)
+    arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
+    if values_json is not None:
+        arrays["__values_json__"] = np.frombuffer(values_json.encode(), dtype=np.uint8)
+    if values_pickle is not None:
+        arrays["__values_pickle__"] = np.frombuffer(values_pickle, dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load(path, allow_pickle: bool = False) -> CompiledMatcher:
+    """Load a compiled matcher saved by :func:`save`.
+
+    ``allow_pickle`` must be True to load artifacts whose map values were
+    not JSON-serializable (pickle deserialization runs arbitrary code; only
+    enable for artifacts you produced).
+    """
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        if meta.get("format_version") != FORMAT_VERSION:
+            raise ValueError(f"unsupported artifact version {meta.get('format_version')}")
+        values = None
+        if meta["has_values"]:
+            if "__values_json__" in z.files:
+                values = json.loads(bytes(z["__values_json__"]).decode())
+            elif "__values_pickle__" in z.files:
+                if not allow_pickle:
+                    raise ValueError(
+                        "artifact stores pickled values; pass allow_pickle=True "
+                        "to load (only for artifacts you trust)"
+                    )
+                values = pickle.loads(bytes(z["__values_pickle__"]))
+        kwargs = {}
+        for f in dataclasses.fields(CompiledMatcher):
+            if f.name in _META_FIELDS:
+                kwargs[f.name] = meta[f.name]
+            elif f.name == "values":
+                kwargs[f.name] = values
+            elif f.name in z.files:
+                kwargs[f.name] = z[f.name]
+            else:
+                kwargs[f.name] = None
+        return CompiledMatcher(**kwargs)
+
+
+def save_bytes(m: CompiledMatcher) -> bytes:
+    buf = io.BytesIO()
+    save(m, buf)
+    return buf.getvalue()
+
+
+def load_bytes(data: bytes, allow_pickle: bool = False) -> CompiledMatcher:
+    return load(io.BytesIO(data), allow_pickle=allow_pickle)

@@ -147,6 +147,15 @@ class _DfaCursor:
     def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:
         raise NotImplementedError
 
+    def state_dict(self) -> dict:
+        """JSON-safe resume point: the reference's cross-chunk invariant is
+        exactly (state id, offset) — ``AhoCorasickMap.java:208-275``."""
+        return {"state": int(self.state), "off": int(self.off)}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.state = int(d["state"])
+        self.off = int(d["off"])
+
 
 class _AcCursor(_DfaCursor):
     def __init__(self, m: CompiledMatcher):
@@ -196,6 +205,19 @@ class _LongestCursor(_DfaCursor):
         # so they start at/after self.off - max_depth + 1: anything queued
         # ending before that can never be displaced.
         return self.queue.flush(self.off - self.m.max_depth)
+
+    def state_dict(self) -> dict:
+        d = super().state_dict()
+        d["queue"] = self.queue.drain()
+        for s, e, v in d["queue"]:
+            self.queue.push(s, e, v)
+        return d
+
+    def load_state_dict(self, d: dict) -> None:
+        super().load_state_dict(d)
+        self.queue = MatchQueue()
+        for s, e, v in d["queue"]:
+            self.queue.push(int(s), int(e), int(v))
 
 
 class _WordCursor:
@@ -329,6 +351,20 @@ class _WordCursor:
         self.tail_off = buf_off + (n - keep)
         return out
 
+    def state_dict(self) -> dict:
+        return {
+            "tail": self.tail.tolist(),
+            "tail_off": int(self.tail_off),
+            "off": int(self.off),
+            "resume": int(self.resume),
+        }
+
+    def load_state_dict(self, d: dict) -> None:
+        self.tail = np.asarray(d["tail"], dtype=np.int32)
+        self.tail_off = int(d["tail_off"])
+        self.off = int(d["off"])
+        self.resume = int(d["resume"])
+
 
 def make_cursor(m: CompiledMatcher):
     if m.kind == AC:
@@ -365,3 +401,14 @@ class StreamScanner:
             # Empty stream: still run the end-of-input path once.
             for match in self.cursor.feed(np.zeros(0, dtype=np.int32), is_final=True):
                 yield match
+
+    # Resumable scans: persist/restore the cursor between processes.
+    def state_dict(self) -> dict:
+        return self.cursor.state_dict()
+
+    def load_state_dict(self, d: dict) -> None:
+        self.cursor.load_state_dict(d)
+
+    def feed(self, text: str, is_final: bool) -> "List[Match]":
+        """Push-mode: feed one text chunk, get finalized global triples."""
+        return self.cursor.feed(self._classes(text), is_final)

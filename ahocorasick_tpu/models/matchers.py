@@ -230,6 +230,38 @@ class _Matcher:
                 break
         return None
 
+    def stream(self, chunk_units=None):
+        """A push-mode scanner: ``feed(text, is_final)`` returns finalized
+        global matches — ``(start, end)`` for sets, ``(start, end, value)``
+        for maps; ``state_dict()``/``load_state_dict()`` persist the cursor
+        across processes (resumable scans)."""
+        from ahocorasick_tpu.core.stream import StreamScanner
+
+        return _MatcherStream(StreamScanner(self.compiled, chunk_units), self.is_map)
+
+    # ----------------------------- persistence ----------------------------- #
+
+    def save(self, path) -> None:
+        """Persist the compiled automaton (see ``core/artifact.py``)."""
+        from ahocorasick_tpu.core import artifact
+
+        artifact.save(self.compiled, path)
+
+    @classmethod
+    def from_compiled(cls, compiled: CompiledMatcher, engine: str = "auto"):
+        """Wrap an existing/loaded ``CompiledMatcher`` without recompiling."""
+        if compiled.kind != cls.kind or (compiled.values is not None) != cls.is_map:
+            raise ValueError(
+                f"artifact is kind={compiled.kind!r} "
+                f"{'map' if compiled.values is not None else 'set'}; "
+                f"expected {cls.kind!r} {'map' if cls.is_map else 'set'}"
+            )
+        self = cls.__new__(cls)
+        self.engine = engine
+        self.compiled = compiled
+        self.dev = _DeviceTables(compiled)
+        return self
+
     def match_readable(self, source, listener: Callable, *, chunk_units=None):
         """Reference ``StringMap.match(Readable, ReadableMatchListener)``:
         the listener receives values only (``StringMap.java:6``,
@@ -437,6 +469,48 @@ class WholeWordLongestMatchMap(WholeWordLongestMatchSet):
         super().__init__(keywords, case_sensitive, values=values, **kw)
 
 
+class _MatcherStream:
+    """Push-mode façade translating value ids to user values (maps)."""
+
+    def __init__(self, scanner, is_map: bool):
+        self._scanner = scanner
+        self._is_map = is_map
+        self._values = scanner.m.values
+
+    def feed(self, text: str, is_final: bool):
+        trips = self._scanner.feed(text, is_final)
+        if self._is_map:
+            return [(s, e, self._values[v]) for s, e, v in trips]
+        return [(s, e) for s, e, _ in trips]
+
+    def state_dict(self) -> dict:
+        return self._scanner.state_dict()
+
+    def load_state_dict(self, d: dict) -> None:
+        self._scanner.load_state_dict(d)
+
+
+_CLASS_BY_KIND = {}
+
+
+def load_matcher(path, allow_pickle: bool = False, engine: str = "auto"):
+    """Load a saved matcher artifact, returning the right matcher class."""
+    from ahocorasick_tpu.core import artifact
+
+    compiled = artifact.load(path, allow_pickle=allow_pickle)
+    cls = _CLASS_BY_KIND[(compiled.kind, compiled.values is not None)]
+    return cls.from_compiled(compiled, engine=engine)
+
+
+def _register_classes():
+    for cls in (
+        AhoCorasickSet, AhoCorasickMap, LongestMatchSet, LongestMatchMap,
+        ShortestMatchSet, ShortestMatchMap, WholeWordMatchSet,
+        WholeWordMatchMap, WholeWordLongestMatchSet, WholeWordLongestMatchMap,
+    ):
+        _CLASS_BY_KIND[(cls.kind, cls.is_map)] = cls
+
+
 def _resolve_word_chars(word_chars, toggle_flags):
     """Reference constructor overloads (WholeWordMatchSet.java:16-45)."""
     if word_chars is None:
@@ -446,3 +520,5 @@ def _resolve_word_chars(word_chars, toggle_flags):
     if toggle_flags is not None:
         return chartables.word_chars_with_toggles(word_chars, toggle_flags)
     return chartables.word_chars_from_list(word_chars)
+
+_register_classes()

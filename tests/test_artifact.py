@@ -1,0 +1,106 @@
+"""Artifact save/load + resumable stream cursors (SURVEY.md §5 checkpointing)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from ahocorasick_tpu import load_matcher
+from ahocorasick_tpu.core import artifact
+from ahocorasick_tpu.models.matchers import (
+    AhoCorasickMap,
+    AhoCorasickSet,
+    LongestMatchMap,
+    LongestMatchSet,
+    ShortestMatchSet,
+    WholeWordLongestMatchSet,
+    WholeWordMatchMap,
+)
+
+ALL = [
+    (AhoCorasickSet, ["he", "she", "hers"], None),
+    (AhoCorasickMap, ["he", "she"], ["H", "S"]),
+    (LongestMatchSet, ["he", "hers", "herself"], None),
+    (ShortestMatchSet, ["she", "he"], None),
+    (WholeWordMatchMap, ["stand", "up"], [1, 2]),
+    (WholeWordLongestMatchSet, ["as if", "as"], None),
+]
+
+TEXT = "she said he stands as if hers herself stand up as"
+
+
+@pytest.mark.parametrize("cls,kws,vals", ALL)
+def test_roundtrip(tmp_path, cls, kws, vals):
+    m = cls(kws, values=vals) if vals else cls(kws)
+    path = tmp_path / "m.npz"
+    m.save(path)
+    m2 = load_matcher(path)
+    assert type(m2) is cls
+    assert m2.match(TEXT) == m.match(TEXT)
+
+
+def test_roundtrip_bytes():
+    m = AhoCorasickSet(["ab", "abc"])
+    data = artifact.save_bytes(m.compiled)
+    c2 = artifact.load_bytes(data)
+    m2 = AhoCorasickSet.from_compiled(c2)
+    assert m2.match("xabcx") == m.match("xabcx")
+
+
+class Payload:
+    def __init__(self, x):
+        self.x = x
+
+    def __eq__(self, other):
+        return self.x == other.x
+
+
+def test_non_json_values_need_pickle_optin(tmp_path):
+    m = AhoCorasickMap(["he"], [Payload(7)])
+    path = tmp_path / "m.npz"
+    m.save(path)
+    with pytest.raises(ValueError, match="allow_pickle"):
+        load_matcher(path)
+    m2 = load_matcher(path, allow_pickle=True)
+    assert m2.match("he") == [(0, 2, Payload(7))]
+
+
+def test_from_compiled_kind_mismatch():
+    m = AhoCorasickSet(["he"])
+    with pytest.raises(ValueError, match="kind"):
+        LongestMatchSet.from_compiled(m.compiled)
+
+
+@pytest.mark.parametrize("cls,kws,vals", ALL)
+def test_resumable_cursor(cls, kws, vals):
+    """Splitting a stream across two scanner instances (with state persisted
+    between them) equals one continuous scan."""
+    m = cls(kws, values=vals) if vals else cls(kws)
+    text = TEXT + " " + TEXT
+    cut = len(text) // 2
+
+    one = m.stream(chunk_units=8)
+    expected = []
+    for i in range(0, len(text), 8):
+        expected += one.feed(text[i : i + 8], is_final=i + 8 >= len(text))
+
+    s1 = m.stream()
+    got = s1.feed(text[:cut], is_final=False)
+    state = s1.state_dict()
+
+    s2 = m.stream()  # fresh scanner, e.g. a new process
+    s2.load_state_dict(state)
+    got += s2.feed(text[cut:], is_final=True)
+    assert got == expected
+
+
+def test_state_dict_is_json_safe():
+    import json
+
+    m = LongestMatchMap(["he", "hers"], [1, 2])
+    s = m.stream()
+    s.feed("xxhe", is_final=False)
+    d = json.loads(json.dumps(s.state_dict()))
+    s2 = m.stream()
+    s2.load_state_dict(d)
+    assert s2.feed("rsx", is_final=True) == [(2, 6, 2)]  # "hers" -> value 2
