@@ -166,15 +166,24 @@ class _Matcher:
     def match_triples(self, text: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """All matches as (starts, ends, value_ids) numpy arrays, in the
         reference's emission order."""
+        from ahocorasick_tpu.utils.stats import ScanStats, timed
+
         cls = self._classes(text)
-        if self._pick_engine(len(cls)) == "gold":
-            trip = gold.gold_match(self.compiled, text)
-            if not trip:
-                z = np.zeros(0, dtype=np.int64)
-                return z, z, z.copy()
-            a = np.asarray(trip, dtype=np.int64)
-            return a[:, 0], a[:, 1], a[:, 2]
-        return self._device_triples(cls)
+        engine = self._pick_engine(len(cls))
+        self.last_stats = ScanStats(units=len(cls), engine=engine, kind=self.kind)
+        with timed(self.last_stats):
+            if engine == "gold":
+                trip = gold.gold_match(self.compiled, text)
+                if not trip:
+                    z = np.zeros(0, dtype=np.int64)
+                    out = z, z, z.copy()
+                else:
+                    a = np.asarray(trip, dtype=np.int64)
+                    out = a[:, 0], a[:, 1], a[:, 2]
+            else:
+                out = self._device_triples(cls)
+        self.last_stats.matches = int(len(out[0]))
+        return out
 
     def _device_triples(self, cls: np.ndarray):
         raise NotImplementedError
