@@ -121,6 +121,22 @@ class _DeviceTables:
             cache[name] = jnp.asarray(self._build(name))
         return cache[name]
 
+    @property
+    def ranked(self):
+        """Ranked tables for the gather-minimized PFAC v2 engine (lazy)."""
+        cache = self.__dict__["_cache"]
+        if "ranked" not in cache:
+            import jax.numpy as jnp
+
+            from ahocorasick_tpu.ops import scan_pfac2
+
+            rt = scan_pfac2.build_ranked(self._m)
+            trie = np.full((self._sp, self._ap), rt.dead_state, dtype=np.uint32)
+            trie[: rt.num_states, : self._m.num_classes] = rt.trie_next
+            cache["ranked"] = rt._replace(trie_next=jnp.asarray(trie),
+                                          prefix=jnp.asarray(rt.prefix))
+        return cache["ranked"]
+
 
 class _Matcher:
     kind: str = ""
@@ -293,10 +309,10 @@ class _Matcher:
 
 
 def _bucket_depth(d: int) -> int:
-    # Pad walk depth to a small set of buckets: extra depth steps only walk
+    # Pad walk depth to multiples of 4: extra depth steps only walk
     # already-dead lanes (no emissions), so this trades a little wasted work
-    # for far fewer distinct compiled executables.
-    return _bucket_up(max(d, 1))
+    # for fewer distinct compiled executables.
+    return max(-(-d // 4) * 4, 4)
 
 
 class _PfacEngine(_Matcher):
@@ -305,18 +321,22 @@ class _PfacEngine(_Matcher):
     def _candidates(self, cls: np.ndarray):
         import jax.numpy as jnp
 
-        from ahocorasick_tpu.ops import emit, scan_pfac
+        from ahocorasick_tpu.ops import emit, scan_pfac2
 
         m = self.compiled
+        rt = self.dev.ranked
         d = _bucket_depth(m.max_depth)
         planes = (d + 31) // 32
-        cls_p = scan_pfac.pad_classes(cls, d, bucket=_LANE_BUCKET)
-        bits = scan_pfac.pfac_bitplanes(
-            self.dev.trie_next,
-            self.dev.is_match,
-            jnp.asarray(cls_p),
+        cls_p = scan_pfac2.pad_classes(cls, d, bucket=_LANE_BUCKET)
+        bits = scan_pfac2.pfac2_bitplanes(
+            rt.trie_next,
+            rt.prefix,
+            jnp.uint32(rt.match_threshold),
+            jnp.asarray(cls_p.astype(np.int32)),
             d,
             planes,
+            rt.prefix_k,
+            m.num_classes,
         )
         return emit.ac_matches(m, cls, np.asarray(bits))
 

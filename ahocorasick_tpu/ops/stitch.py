@@ -45,8 +45,12 @@ def chunk_state_maps(dfa_next: jax.Array, cls_chunks: jax.Array) -> jax.Array:
 
 
 @jax.jit
-def entry_states(sigma: jax.Array) -> jax.Array:
-    """Entry state of each chunk given per-chunk maps, via associative scan."""
+def entry_states(sigma: jax.Array, s0: jax.Array = 0) -> jax.Array:
+    """Entry state of each chunk given per-chunk maps, via associative scan.
+
+    ``s0``: the automaton state entering chunk 0 (root by default; a carried
+    stream-cursor state when stitching mid-stream buffers).
+    """
 
     def compose(a, b):
         # (sigma_a then sigma_b)[s] = sigma_b[sigma_a[s]], batched over chunks.
@@ -54,9 +58,10 @@ def entry_states(sigma: jax.Array) -> jax.Array:
 
     cum = lax.associative_scan(compose, sigma, axis=0)
     C = sigma.shape[0]
-    # Chunk 0 enters at the root; chunk c>0 enters at (sigma_0 ∘ .. ∘ sigma_{c-1})[root].
-    prev = cum[: C - 1, 0]
-    return jnp.concatenate([jnp.zeros((1,), dtype=sigma.dtype), prev])
+    s0 = jnp.asarray(s0, dtype=sigma.dtype)
+    # Chunk 0 enters at s0; chunk c>0 at (sigma_0 ∘ .. ∘ sigma_{c-1})[s0].
+    prev = cum[: C - 1, s0]
+    return jnp.concatenate([s0[None], prev])
 
 
 @jax.jit
@@ -74,8 +79,8 @@ def stitched_states(dfa_next: jax.Array, cls_chunks: jax.Array, entry: jax.Array
     return jax.vmap(one)(cls_chunks, entry.astype(jnp.int32))
 
 
-def stitched_scan(dfa_next: jax.Array, cls_chunks: jax.Array) -> jax.Array:
+def stitched_scan(dfa_next: jax.Array, cls_chunks: jax.Array, s0=0) -> jax.Array:
     """Full pipeline: chunked classes (C, K) -> exact arrival states (C, K)."""
     sigma = chunk_state_maps(dfa_next, cls_chunks)
-    entry = entry_states(sigma)
+    entry = entry_states(sigma, s0)
     return stitched_states(dfa_next, cls_chunks, entry)

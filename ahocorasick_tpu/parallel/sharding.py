@@ -115,6 +115,62 @@ def sharded_bitplanes(
     return np.asarray(run(trie_next, is_match, jnp.asarray(cls_p.astype(np.int32))))
 
 
+def sharded_arrival_states(
+    table: jax.Array,  # int32[S(+pad), A] total transition function
+    cls: np.ndarray,
+    mesh: Mesh,
+) -> np.ndarray:
+    """Exact sequential arrival states across the mesh via sigma-stitching.
+
+    Each device scans its shard once carrying all S entry-state lanes (the
+    sigma map), the tiny (D, S) sigma set is all-gathered over ICI, each
+    device folds its predecessors' maps to find its true entry state, then
+    rescans its shard.  Exactly the stream-mode state-carry invariant
+    (AhoCorasickMap.java:208-275) parallelized; suits small-to-medium S.
+    Returns int32[len(cls)] arrival states (s_1..s_N of the flat scan).
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n = len(cls)
+    chunk = -(-max(n, 1) // n_dev)
+    # Class 0 never advances toward a match but does change state in a total
+    # DFA; padding must therefore be sliced off by the caller — we pad with
+    # class 0 and return only the first n states.
+    cls_p = np.pad(cls, (0, chunk * n_dev - n), constant_values=0)
+    S = table.shape[0]
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(None, None), P(axis)), out_specs=P(axis)
+    )
+    def run(tab, cls_local):
+        def step_sigma(v, c):
+            return tab[v, c], None
+
+        # pcast: mark replicated initial carries as device-varying so the
+        # scan carry types match (shard_map varying-axes discipline).
+        v0 = lax.pcast(jnp.arange(S, dtype=jnp.int32), (axis,), to="varying")
+        sigma, _ = lax.scan(step_sigma, v0, cls_local[0])
+        sigmas = lax.all_gather(sigma, axis)  # (D, S)
+        idx = lax.axis_index(axis)
+
+        def fold(j, s):
+            return jnp.where(j < idx, sigmas[j, s], s)
+
+        entry = lax.fori_loop(
+            0, n_dev, fold, lax.pcast(jnp.int32(0), (axis,), to="varying")
+        )
+
+        def step(s, c):
+            s2 = tab[s, c]
+            return s2, s2
+
+        _, states = lax.scan(step, entry, cls_local[0])
+        return states[None]
+
+    out = run(table, jnp.asarray(cls_p.astype(np.int32)).reshape(n_dev, chunk))
+    return np.asarray(out).reshape(-1)[:n]
+
+
 class ShardedScanner:
     """Data-parallel façade over a compiled AC-kind matcher.
 
@@ -136,6 +192,13 @@ class ShardedScanner:
     def match_triples(self, text: str):
         m = self.matcher.compiled
         cls = self.matcher._classes(text)
+        if m.kind == "shortest":
+            # Sequential-exact path: sigma-stitched arrival states on the
+            # restart-baked total DFA, matches extracted host-side.
+            states = sharded_arrival_states(
+                self.matcher.dev.dfa_next_shortest, cls, self.mesh
+            )
+            return emit.states_to_shortest_matches(m, states)
         d = max(m.max_depth, 1)
         planes = (d + 31) // 32
         bits = sharded_bitplanes(

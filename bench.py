@@ -88,7 +88,7 @@ def main() -> None:
     from jax import lax
 
     from ahocorasick_tpu.models.matchers import AhoCorasickSet
-    from ahocorasick_tpu.ops import scan_pfac
+    from ahocorasick_tpu.ops import scan_pfac2
 
     rng = np.random.default_rng(SEED)
     keywords = make_dictionary(rng, N_KEYWORDS)
@@ -100,27 +100,34 @@ def main() -> None:
     cls = make_text_classes(m, rng, TEXT_UNITS)
     # Extra right-pad so rep i can scan the shifted window [i, i+N): the
     # shift defeats cross-rep CSE without changing the work per scan.
-    cls_p = np.pad(cls, (0, d + REPS), constant_values=scan_pfac.PAD_CLASS).astype(np.int32)
+    cls_p = np.pad(cls, (0, d + REPS), constant_values=scan_pfac2.PAD_CLASS).astype(np.int32)
     cls_dev = jax.device_put(jnp.asarray(cls_p))
     n = TEXT_UNITS
+    rt = m.dev.ranked
+    thr = jnp.uint32(rt.match_threshold)
 
     @jax.jit
-    def reps_count(trie_next, is_match, cls_padded):
+    def reps_count(trie_next, prefix, cls_padded):
         def one(i, total):
             window = lax.dynamic_slice(cls_padded, (i,), (n + d,))
-            return total + scan_pfac.pfac_count(trie_next, is_match, window, d)
+            return total + scan_pfac2.pfac2_count(
+                trie_next, prefix, thr, window, d, rt.prefix_k, m.compiled.num_classes
+            )
 
         return lax.fori_loop(0, REPS, one, jnp.int32(0))
 
     # Warmup (compile) + correctness guard: count must be positive.
-    total = int(scan_pfac.pfac_count(m.dev.trie_next, m.dev.is_match, cls_dev[: n + d], d))
+    total = int(scan_pfac2.pfac2_count(
+        rt.trie_next, rt.prefix, thr, cls_dev[: n + d], d, rt.prefix_k,
+        m.compiled.num_classes,
+    ))
     assert total > 0, "benchmark text produced zero matches"
 
-    float(reps_count(m.dev.trie_next, m.dev.is_match, cls_dev))  # compile
+    float(reps_count(rt.trie_next, rt.prefix, cls_dev))  # compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(reps_count(m.dev.trie_next, m.dev.is_match, cls_dev))
+        float(reps_count(rt.trie_next, rt.prefix, cls_dev))
         times.append(time.perf_counter() - t0)
     dt = min(times) / REPS
 

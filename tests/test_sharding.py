@@ -62,3 +62,34 @@ def test_sharded_longest_resolution():
     got = list(zip(s.tolist(), e.tolist()))
     want = [(a, b) for a, b, _ in gold.gold_longest(m.compiled, text)]
     assert got == want
+
+
+def test_sharded_shortest_matches_gold():
+    from ahocorasick_tpu.models.matchers import ShortestMatchMap
+    from ahocorasick_tpu.parallel.sharding import ShardedScanner
+
+    m = ShortestMatchMap(["she", "he", "hers", "abab"], [1, 2, 3, 4], engine="gold")
+    text = "ushers abababab heshe xx " * 13
+    sc = ShardedScanner(m)
+    starts, ends, vals = sc.match_triples(text)
+    got = list(zip(starts.tolist(), ends.tolist(), vals.tolist()))
+    expected = [(s, e, v) for s, e, v in
+                zip(*[x.tolist() for x in m.match_triples(text)])]
+    assert got == expected
+
+
+def test_sharded_arrival_states_match_flat():
+    import jax.numpy as jnp
+    import numpy as np
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+    from ahocorasick_tpu.ops import scan_dfa
+    from ahocorasick_tpu.parallel.sharding import data_mesh, sharded_arrival_states
+
+    m = AhoCorasickSet(["ab", "bc", "cab"], engine="gold")
+    rng = np.random.default_rng(0)
+    cls = m.compiled.charmap[
+        np.frombuffer("".join(rng.choice(list("abcx"), size=301)).encode("utf-16-le"),
+                      dtype=np.uint16)]
+    states = sharded_arrival_states(m.dev.dfa_next, cls, data_mesh())
+    flat = np.asarray(scan_dfa.dfa_states(m.dev.dfa_next, jnp.asarray(cls.astype(np.int32))))
+    np.testing.assert_array_equal(states, flat)
