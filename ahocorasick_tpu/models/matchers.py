@@ -137,6 +137,24 @@ class _DeviceTables:
                                           prefix=jnp.asarray(rt.prefix))
         return cache["ranked"]
 
+    @property
+    def packed_dfa(self):
+        """Packed goto-closure DFA for the batched-halo v4 engine (lazy)."""
+        cache = self.__dict__["_cache"]
+        if "packed_dfa" not in cache:
+            import jax.numpy as jnp
+
+            from ahocorasick_tpu.ops import scan_batched
+
+            pd = scan_batched.build_packed(self._m)
+            ap = self._ap
+            table = np.zeros((self._m.num_states, ap), dtype=np.uint32)
+            table[:, : self._m.num_classes] = pd.table
+            # Padded class columns behave like class 0 (non-keyword char).
+            table[:, self._m.num_classes :] = pd.table[:, :1]
+            cache["packed_dfa"] = pd._replace(table=jnp.asarray(table))
+        return cache["packed_dfa"]
+
 
 class _Matcher:
     kind: str = ""
@@ -315,10 +333,43 @@ def _bucket_depth(d: int) -> int:
     return max(-(-d // 4) * 4, 4)
 
 
+# v4 chunk length: B = N/C lanes scan C sequential steps; small C maximizes
+# gather-lane parallelism, the (d-1)-halo warmup is the only overhead.
+_BATCH_CHUNK = 512
+
+
 class _PfacEngine(_Matcher):
-    """All-candidates failureless scan; AC emits directly, Longest resolves."""
+    """All-candidates parallel scan; AC emits directly, Longest resolves.
+
+    Default device path is the batched-halo DFA scan (``ops/scan_batched``,
+    one gather per character — the v5e optimum); the PFAC v2 walk engine
+    remains available via ``device_engine="pfac2"`` for cross-checking.
+    """
+
+    device_engine = "batched"
 
     def _candidates(self, cls: np.ndarray):
+        m = self.compiled
+        if self.device_engine == "pfac2" or len(cls) == 0:
+            return self._candidates_pfac2(cls)
+        pd = self.dev.packed_dfa
+        if pd.emit_mask is not None:
+            # Packed layout doesn't fit (state_bits + max_depth > 32, i.e.
+            # huge dictionary with long keywords): the walk engine handles it.
+            return self._candidates_pfac2(cls)
+        import jax.numpy as jnp
+
+        from ahocorasick_tpu.ops import scan_batched
+
+        d = max(m.max_depth, 1)
+        planes = (d + 31) // 32
+        windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, pd.halo)
+        bits = scan_batched.batched_emit_planes(
+            pd.table, jnp.asarray(windows), pd.halo, pd.state_bits, planes
+        )
+        return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
+
+    def _candidates_pfac2(self, cls: np.ndarray):
         import jax.numpy as jnp
 
         from ahocorasick_tpu.ops import emit, scan_pfac2

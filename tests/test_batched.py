@@ -1,0 +1,95 @@
+"""Batched-halo DFA engine (v4) conformance: exact vs gold, any chunking."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ahocorasick_tpu.core.compiler import compile_matcher
+from ahocorasick_tpu.models.matchers import (
+    AhoCorasickSet,
+    LongestMatchMap,
+    _DeviceTables,
+)
+from ahocorasick_tpu.ops import scan_batched
+
+
+def batched_triples(keywords, text, chunk, case_sensitive=True, kind="ac"):
+    m = compile_matcher(keywords, kind, case_sensitive)
+    dev = _DeviceTables(m)
+    cls = m.charmap[np.frombuffer(text.encode("utf-16-le"), dtype=np.uint16)]
+    pd = dev.packed_dfa
+    assert pd.emit_mask is None, "test dictionaries must fit packed mode"
+    d = max(m.max_depth, 1)
+    windows = scan_batched.chunk_classes(cls, chunk, pd.halo)
+    bits = scan_batched.batched_emit_planes(
+        pd.table, jnp.asarray(windows), pd.halo, pd.state_bits, (d + 31) // 32
+    )
+    return scan_batched.ac_matches_batched(m, cls, np.asarray(bits)), m, cls, pd
+
+
+@pytest.mark.parametrize("chunk", [1, 2, 7, 64, 512])
+def test_exact_vs_gold(chunk):
+    from ahocorasick_tpu.core import gold
+
+    keywords = ["he", "she", "his", "hers", "ushers"]
+    text = "ushers said heshe hishers " * 5
+    (s, e, v), m, cls, pd = batched_triples(keywords, text, chunk)
+    expected = gold.gold_match(m, text)
+    assert list(zip(s.tolist(), e.tolist())) == [(a, b) for a, b, _ in expected]
+
+
+def test_boundary_full_length_keyword():
+    """A longest-keyword match ending exactly at a chunk boundary requires
+    the full-d halo (regression for the d-1 off-by-one)."""
+    kw = "abcdefgh"  # d = 8
+    text = "x" * 504 + kw  # match occupies positions 504..512 spanning chunks
+    (s, e, v), *_ = batched_triples([kw], text, 512)
+    assert list(zip(s.tolist(), e.tolist())) == [(504, 512)]
+    # and ending exactly ON the boundary
+    text2 = "x" * (512 - 8) + kw + "y" * 100
+    (s2, e2, _), *_ = batched_triples([kw], text2, 512)
+    assert list(zip(s2.tolist(), e2.tolist())) == [(504, 512)]
+
+
+def test_overlap_suffix_chain():
+    (trip, m, cls, pd) = batched_triples(["a", "aa", "aaa"], "aaaa", 2)
+    s, e, v = trip
+    got = list(zip(s.tolist(), e.tolist()))
+    from ahocorasick_tpu.core import gold
+
+    assert got == [(a, b) for a, b, _ in gold.gold_match(m, "aaaa")]
+
+
+def test_count_kernel():
+    keywords = ["ab", "b", "aab"]
+    rng = np.random.default_rng(5)
+    text = "".join(rng.choice(list("ab "), size=3000))
+    m = compile_matcher(keywords, "ac", True)
+    dev = _DeviceTables(m)
+    cls = m.charmap[np.frombuffer(text.encode("utf-16-le"), dtype=np.uint16)]
+    pd = dev.packed_dfa
+    windows = scan_batched.chunk_classes(cls, 128, pd.halo)
+    total = int(scan_batched.batched_count(pd.table, jnp.asarray(windows),
+                                           pd.halo, pd.state_bits))
+    from ahocorasick_tpu.core import gold
+
+    assert total == len(gold.gold_match(m, text))
+
+
+def test_engine_fuzz_vs_gold():
+    rng = np.random.default_rng(9)
+    for trial in range(10):
+        kws = ["".join(rng.choice(list("abcd"), size=int(rng.integers(1, 7))))
+               for _ in range(int(rng.integers(1, 25)))]
+        text = "".join(rng.choice(list("abcd "), size=int(rng.integers(0, 600))))
+        dev_m = AhoCorasickSet(kws, engine="device")
+        gold_m = AhoCorasickSet(kws, engine="gold")
+        assert dev_m.match(text) == gold_m.match(text), (trial, kws)
+
+
+def test_longest_map_through_engine():
+    m = LongestMatchMap(["he", "hers", "herself"], [1, 2, 3], engine="device")
+    g = LongestMatchMap(["he", "hers", "herself"], [1, 2, 3], engine="gold")
+    text = "xx herself hers he " * 30
+    assert m.match(text) == g.match(text)
