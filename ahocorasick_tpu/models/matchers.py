@@ -138,6 +138,19 @@ class _DeviceTables:
         return cache["ranked"]
 
     @property
+    def packed2_dfa(self):
+        """Stride-2 packed DFA for the v4b engine (lazy; see scan_batched2)."""
+        cache = self.__dict__["_cache"]
+        if "packed2_dfa" not in cache:
+            import jax.numpy as jnp
+
+            from ahocorasick_tpu.ops import scan_batched2
+
+            p2 = scan_batched2.build_packed2(self._m)
+            cache["packed2_dfa"] = p2._replace(table=jnp.asarray(p2.table))
+        return cache["packed2_dfa"]
+
+    @property
     def packed_dfa(self):
         """Packed goto-closure DFA for the batched-halo v4 engine (lazy)."""
         cache = self.__dict__["_cache"]
@@ -352,6 +365,8 @@ class _PfacEngine(_Matcher):
         m = self.compiled
         if self.device_engine == "pfac2" or len(cls) == 0:
             return self._candidates_pfac2(cls)
+        if self.device_engine == "batched2":
+            return self._candidates_batched2(cls)
         pd = self.dev.packed_dfa
         if pd.emit_mask is not None:
             # Packed layout doesn't fit (state_bits + max_depth > 32, i.e.
@@ -366,6 +381,23 @@ class _PfacEngine(_Matcher):
         windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, pd.halo)
         bits = scan_batched.batched_emit_planes(
             pd.table, jnp.asarray(windows), pd.halo, pd.state_bits, planes
+        )
+        return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
+
+    def _candidates_batched2(self, cls: np.ndarray):
+        import jax.numpy as jnp
+
+        from ahocorasick_tpu.ops import scan_batched, scan_batched2
+
+        m = self.compiled
+        if not scan_batched2.fits(m):
+            return self._candidates(cls)  # stride-1 fallback
+        p2 = self.dev.packed2_dfa
+        d = max(m.max_depth, 1)
+        windows = scan_batched2.chunk_classes2(cls, _BATCH_CHUNK, p2.halo)
+        bits = scan_batched2.batched2_emit_planes(
+            p2.table, jnp.asarray(windows), p2.halo, p2.state_bits,
+            p2.num_classes, (d + 31) // 32,
         )
         return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
 

@@ -120,7 +120,9 @@ def batched_emit_planes(
     def warm(s, c):
         return table[s, c] & state_mask, None
 
-    s0 = jnp.zeros((B,), dtype=jnp.uint32)
+    # Derive the root-state carry from the input so its sharding varyingness
+    # matches inside shard_map bodies (plain zeros are 'replicated' there).
+    s0 = (windows[:, 0] * 0).astype(jnp.uint32)
     s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
 
     def step(s, c):
@@ -150,7 +152,7 @@ def batched_count(
     def warm(s, c):
         return table[s, c] & state_mask, None
 
-    s0 = jnp.zeros((B,), dtype=jnp.uint32)
+    s0 = (windows[:, 0] * 0).astype(jnp.uint32)
     s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
 
     def step(carry, c):
@@ -159,7 +161,8 @@ def batched_count(
         pop = jax.lax.population_count(v >> jnp.uint32(state_bits))
         return (v & state_mask, tot + jnp.sum(pop.astype(jnp.int32))), None
 
-    (_, total), _ = lax.scan(step, (s_h, jnp.int32(0)), windows[:, halo:].T)
+    tot0 = (windows[0, 0] * 0).astype(jnp.int32)
+    (_, total), _ = lax.scan(step, (s_h, tot0), windows[:, halo:].T)
     return total
 
 

@@ -115,6 +115,87 @@ def sharded_bitplanes(
     return np.asarray(run(trie_next, is_match, jnp.asarray(cls_p.astype(np.int32))))
 
 
+def _left_halo(cls_local: jax.Array, halo: int, axis: str, n_dev: int) -> jax.Array:
+    """Last ``halo`` classes of the left neighbor (zeros before the start)."""
+    src = lax.slice_in_dim(cls_local, cls_local.shape[0] - halo, cls_local.shape[0])
+    perm = [(i, i + 1) for i in range(n_dev - 1)]
+    return lax.ppermute(src, axis, perm)
+
+
+def _windows_on_device(cls_with_halo: jax.Array, chunk: int, halo: int) -> jax.Array:
+    """(B, halo+chunk) overlapped windows from [halo | N_local] classes."""
+    n_local = cls_with_halo.shape[0] - halo
+    B = n_local // chunk
+    body = cls_with_halo[halo:].reshape(B, chunk)
+    lefts = cls_with_halo[: B * chunk].reshape(B, chunk)[:, :halo]
+    return jnp.concatenate([lefts, body], axis=1)
+
+
+def sharded_batched_count(
+    packed_table: jax.Array,
+    cls: np.ndarray,
+    halo: int,
+    state_bits: int,
+    mesh: Mesh,
+    chunk: int = 512,
+) -> int:
+    """Total match count via the batched-halo v4 engine across the mesh.
+
+    Shard boundaries are just bigger chunk boundaries: each device receives
+    its left neighbor's last ``halo`` classes over ICI (``ppermute``), scans
+    its shard in (halo+chunk)-windows, and counts END-indexed emits — which
+    are shard-local by construction.  ``psum`` reduces.
+    """
+    from ahocorasick_tpu.ops import scan_batched
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n = len(cls)
+    per = -(-max(n, 1) // (n_dev * chunk)) * chunk
+    cls_p = np.pad(cls, (0, per * n_dev - n), constant_values=scan_batched.PAD_CLASS)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(None, None), P(axis)), out_specs=P()
+    )
+    def run(table, cls_local):
+        hl = _left_halo(cls_local, halo, axis, n_dev)
+        windows = _windows_on_device(jnp.concatenate([hl, cls_local]), chunk, halo)
+        return lax.psum(
+            scan_batched.batched_count(table, windows, halo, state_bits), axis
+        )
+
+    return int(run(packed_table, jnp.asarray(cls_p.astype(np.int32))))
+
+
+def sharded_batched_planes(
+    packed_table: jax.Array,
+    cls: np.ndarray,
+    halo: int,
+    state_bits: int,
+    num_planes: int,
+    mesh: Mesh,
+    chunk: int = 512,
+) -> np.ndarray:
+    """END-indexed emit planes (planes, N_padded), lane axis sharded."""
+    from ahocorasick_tpu.ops import scan_batched
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n = len(cls)
+    per = -(-max(n, 1) // (n_dev * chunk)) * chunk
+    cls_p = np.pad(cls, (0, per * n_dev - n), constant_values=scan_batched.PAD_CLASS)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(None, None), P(axis)), out_specs=P(None, axis)
+    )
+    def run(table, cls_local):
+        hl = _left_halo(cls_local, halo, axis, n_dev)
+        windows = _windows_on_device(jnp.concatenate([hl, cls_local]), chunk, halo)
+        return scan_batched.batched_emit_planes(table, windows, halo, state_bits, num_planes)
+
+    return np.asarray(run(packed_table, jnp.asarray(cls_p.astype(np.int32))))
+
+
 def sharded_arrival_states(
     table: jax.Array,  # int32[S(+pad), A] total transition function
     cls: np.ndarray,
@@ -184,6 +265,17 @@ class ShardedScanner:
 
     def count(self, text: str) -> int:
         cls = self.matcher._classes(text)
+        m = self.matcher.compiled
+        if m.kind in ("ac", "longest"):
+            pd = self.matcher.dev.packed_dfa
+            if pd.emit_mask is None:
+                total = sharded_batched_count(
+                    pd.table, cls, pd.halo, pd.state_bits, self.mesh
+                )
+                if m.kind == "longest":
+                    # counting = resolved matches for longest; fall through
+                    return len(self.match_triples(text)[0])
+                return total
         return sharded_count(
             self.matcher.compiled, self.matcher.dev.trie_next, self.matcher.dev.is_match,
             cls, self.mesh,
@@ -201,11 +293,20 @@ class ShardedScanner:
             return emit.states_to_shortest_matches(m, states)
         d = max(m.max_depth, 1)
         planes = (d + 31) // 32
-        bits = sharded_bitplanes(
-            m, self.matcher.dev.trie_next, self.matcher.dev.is_match, cls, self.mesh, planes
-        )
-        bits = bits[:, : len(cls)]
-        triples = emit.ac_matches(m, cls, bits)
+        pd = self.matcher.dev.packed_dfa
+        if pd.emit_mask is None:
+            from ahocorasick_tpu.ops import scan_batched
+
+            bits = sharded_batched_planes(
+                pd.table, cls, pd.halo, pd.state_bits, planes, self.mesh
+            )
+            triples = scan_batched.ac_matches_batched(m, cls, bits)
+        else:
+            bits = sharded_bitplanes(
+                m, self.matcher.dev.trie_next, self.matcher.dev.is_match, cls,
+                self.mesh, planes,
+            )
+            triples = emit.ac_matches(m, cls, bits[:, : len(cls)])
         if m.kind == "longest":
             from ahocorasick_tpu.resolve.queue import resolve_longest
 

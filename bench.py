@@ -95,45 +95,38 @@ def main() -> None:
 
     m = AhoCorasickSet(keywords, engine="device")
     m._bench_keywords = keywords
-    d = max(len(k) for k in keywords)
 
     cls = make_text_classes(m, rng, TEXT_UNITS)
-    # Extra right-pad so rep i can scan the shifted window [i, i+N): the
-    # shift defeats cross-rep CSE without changing the work per scan.
-    cls_p = np.pad(cls, (0, d + REPS), constant_values=scan_pfac2.PAD_CLASS).astype(np.int32)
-    cls_dev = jax.device_put(jnp.asarray(cls_p))
-    n = TEXT_UNITS
-    rt = m.dev.ranked
-    thr = jnp.uint32(rt.match_threshold)
+    from ahocorasick_tpu.ops import scan_batched
+
+    pd = m.dev.packed_dfa
+    windows = scan_batched.chunk_classes(cls, 512, pd.halo)
+    wdev = jax.device_put(jnp.asarray(windows))
 
     @jax.jit
-    def reps_count(trie_next, prefix, cls_padded):
-        def one(i, total):
-            window = lax.dynamic_slice(cls_padded, (i,), (n + d,))
-            return total + scan_pfac2.pfac2_count(
-                trie_next, prefix, thr, window, d, rt.prefix_k, m.compiled.num_classes
-            )
+    def reps_count(table, w):
+        def one(i, tot):
+            # jnp.roll reorders lanes per rep: same total work, defeats CSE.
+            wi = jnp.roll(w, i, axis=0)
+            return tot + scan_batched.batched_count(table, wi, pd.halo, pd.state_bits)
 
         return lax.fori_loop(0, REPS, one, jnp.int32(0))
 
     # Warmup (compile) + correctness guard: count must be positive.
-    total = int(scan_pfac2.pfac2_count(
-        rt.trie_next, rt.prefix, thr, cls_dev[: n + d], d, rt.prefix_k,
-        m.compiled.num_classes,
-    ))
+    total = int(scan_batched.batched_count(pd.table, wdev, pd.halo, pd.state_bits))
     assert total > 0, "benchmark text produced zero matches"
 
-    float(reps_count(rt.trie_next, rt.prefix, cls_dev))  # compile
+    float(reps_count(pd.table, wdev))  # compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(reps_count(rt.trie_next, rt.prefix, cls_dev))
+        float(reps_count(pd.table, wdev))
         times.append(time.perf_counter() - t0)
     dt = min(times) / REPS
 
     gbps = (TEXT_UNITS * 2) / dt / 1e9
     print(json.dumps({
-        "metric": "pfac_scan_throughput",
+        "metric": "dfa_scan_throughput",
         "value": round(gbps, 3),
         "unit": "GB/s",
         "vs_baseline": round(gbps / REFERENCE_GBPS, 2),

@@ -93,3 +93,36 @@ def test_longest_map_through_engine():
     g = LongestMatchMap(["he", "hers", "herself"], [1, 2, 3], engine="gold")
     text = "xx herself hers he " * 30
     assert m.match(text) == g.match(text)
+
+
+def test_stride2_engine_matches_gold():
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet as ACS
+
+    rng = np.random.default_rng(13)
+    for trial in range(8):
+        kws = ["".join(rng.choice(list("abcd"), size=int(rng.integers(1, 8))))
+               for _ in range(int(rng.integers(1, 20)))]
+        text = "".join(rng.choice(list("abcd "), size=int(rng.integers(0, 700))))
+        m = ACS(kws, engine="device")
+        m.device_engine = "batched2"
+        g = ACS(kws, engine="gold")
+        assert m.match(text) == g.match(text), (trial, kws)
+
+
+def test_stride2_odd_halo_and_boundary():
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet as ACS
+
+    kw = "abcdefg"  # d = 7 (odd -> halo rounds to 8)
+    m = ACS([kw], engine="device")
+    m.device_engine = "batched2"
+    text = "x" * 509 + kw + "z" * 30  # straddles the 512 chunk boundary
+    assert m.match(text) == [(509, 516)]
+
+
+def test_stride2_fits_gate():
+    from ahocorasick_tpu.core.compiler import compile_matcher
+    from ahocorasick_tpu.ops import scan_batched2
+
+    m = compile_matcher(["ab"], "ac", True)
+    assert scan_batched2.fits(m)
+    assert not scan_batched2.fits(m, max_bytes=10)
