@@ -379,7 +379,13 @@ def _finalize(
     emit_start = emit_count = emit_len_arr = emit_val_arr = None
     fail_len = fail_off = fail_val = None
 
-    if kind in (AC, LONGEST, SHORTEST):
+    if kind in (AC, LONGEST, SHORTEST, WHOLE_WORD):
+        # WHOLE_WORD also gets fail links / closure / emit tables: its device
+        # engine scans the dictionary as a plain AC automaton and filters
+        # candidates by word boundaries, which is exactly equivalent for
+        # pure-word-char keywords (matches are maximal word runs).  The gold
+        # engine still walks the failureless trie (the reference semantics,
+        # WholeWordMatchSet.java:47-132).
         fail = np.zeros(S, dtype=np.int32)
         dfa_next = np.zeros((S, A), dtype=np.int32)
         # Root: missing transitions loop to root (the reference root returns
@@ -422,7 +428,7 @@ def _finalize(
             # in place (harmless — nothing transitions into them).
             pass
 
-    if kind in (AC, LONGEST):
+    if kind in (AC, LONGEST, WHOLE_WORD):
         # Suffix-chain emit lists in exact Java output() order: own match
         # first, then strictly shorter suffix matches (descending length),
         # via the first-match-ancestor links (AhoCorasickSet.java:110-121).

@@ -485,8 +485,15 @@ class ShortestMatchMap(ShortestMatchSet):
         super().__init__(keywords, case_sensitive, values=values, **kw)
 
 
-class WholeWordMatchSet(_Matcher):
-    """Whole-word-only matches (reference ``WholeWordMatchSet``)."""
+class WholeWordMatchSet(_PfacEngine):
+    """Whole-word-only matches (reference ``WholeWordMatchSet``).
+
+    Device path: pure-word-char keywords match a whole word iff they occur
+    as an AC substring with non-word (or text-edge) characters on both
+    sides, so the batched AC engine runs first and a vectorized boundary
+    filter keeps the whole-word subset — exactly the reference semantics
+    (``WholeWordMatchSet.java:47-132``: one candidate per maximal word run).
+    """
 
     kind = WHOLE_WORD
 
@@ -495,30 +502,13 @@ class WholeWordMatchSet(_Matcher):
         super().__init__(keywords, case_sensitive, word_chars=word_chars, **kw)
 
     def _device_triples(self, cls):
-        import jax.numpy as jnp
-
-        from ahocorasick_tpu.ops import emit, scan_pfac
-
-        m = self.compiled
-        d = _bucket_depth(m.max_depth)
-        planes = (d + 31) // 32
-        cls_p = scan_pfac.pad_classes(cls, d + 1, bucket=_LANE_BUCKET)
-        bits = scan_pfac.pfac_whole_word_bitplanes(
-            self.dev.trie_next,
-            self.dev.is_match,
-            self.dev.class_is_word,
-            jnp.asarray(cls_p),
-            d,
-            planes,
-        )
-        starts, lens = emit.bitplanes_to_matches(np.asarray(bits), d)
-        order = np.argsort(starts, kind="stable")  # ≤1 match per word: start order == end order
-        starts, lens = starts[order], lens[order]
-        if m.values is not None:
-            vals = emit.walk_values(m, cls, starts, lens)
-        else:
-            vals = np.full(len(starts), -1, dtype=np.int64)
-        return starts, starts + lens, vals
+        starts, ends, vals = self._candidates(cls)
+        is_word = np.asarray(self.compiled.class_is_word)[cls]
+        n = len(cls)
+        left_ok = (starts == 0) | ~is_word[np.maximum(starts - 1, 0)]
+        right_ok = (ends == n) | ~is_word[np.minimum(ends, n - 1)]
+        keep = left_ok & right_ok
+        return starts[keep], ends[keep], vals[keep]
 
 
 class WholeWordMatchMap(WholeWordMatchSet):

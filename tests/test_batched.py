@@ -126,3 +126,19 @@ def test_stride2_fits_gate():
     m = compile_matcher(["ab"], "ac", True)
     assert scan_batched2.fits(m)
     assert not scan_batched2.fits(m, max_bytes=10)
+
+
+def test_whole_word_batched_vs_gold_fuzz():
+    from ahocorasick_tpu.models.matchers import WholeWordMatchMap
+
+    rng = np.random.default_rng(21)
+    for trial in range(8):
+        kws = list({
+            "".join(rng.choice(list("abcd"), size=int(rng.integers(1, 7))))
+            for _ in range(int(rng.integers(1, 15)))
+        })
+        vals = list(range(len(kws)))
+        text = "".join(rng.choice(list("abcd -_"), size=int(rng.integers(0, 500))))
+        dev = WholeWordMatchMap(kws, vals, engine="device")
+        gld = WholeWordMatchMap(kws, vals, engine="gold")
+        assert dev.match(text) == gld.match(text), (trial, kws)
