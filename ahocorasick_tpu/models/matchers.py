@@ -151,6 +151,19 @@ class _DeviceTables:
         return cache["packed2_dfa"]
 
     @property
+    def row_dfa(self):
+        """Stride-2 row-gather DFA for the v6 engine (lazy; scan_rowdfa)."""
+        cache = self.__dict__["_cache"]
+        if "row_dfa" not in cache:
+            import jax.numpy as jnp
+
+            from ahocorasick_tpu.ops import scan_rowdfa
+
+            rd = scan_rowdfa.build_rowdfa(self._m)
+            cache["row_dfa"] = rd._replace(table=jnp.asarray(rd.table))
+        return cache["row_dfa"]
+
+    @property
     def packed_dfa(self):
         """Packed goto-closure DFA for the batched-halo v4 engine (lazy)."""
         cache = self.__dict__["_cache"]
@@ -359,7 +372,7 @@ class _PfacEngine(_Matcher):
     remains available via ``device_engine="pfac2"`` for cross-checking.
     """
 
-    device_engine = "batched"
+    device_engine = "rowdfa"
 
     def _candidates(self, cls: np.ndarray):
         m = self.compiled
@@ -367,6 +380,12 @@ class _PfacEngine(_Matcher):
             return self._candidates_pfac2(cls)
         if self.device_engine == "batched2":
             return self._candidates_batched2(cls)
+        if self.device_engine == "rowdfa":
+            return self._candidates_rowdfa(cls)
+        return self._candidates_batched(cls)
+
+    def _candidates_batched(self, cls: np.ndarray):
+        m = self.compiled
         pd = self.dev.packed_dfa
         if pd.emit_mask is not None:
             # Packed layout doesn't fit (state_bits + max_depth > 32, i.e.
@@ -381,6 +400,23 @@ class _PfacEngine(_Matcher):
         windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, pd.halo)
         bits = scan_batched.batched_emit_planes(
             pd.table, jnp.asarray(windows), pd.halo, pd.state_bits, planes
+        )
+        return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
+
+    def _candidates_rowdfa(self, cls: np.ndarray):
+        """v6 stride-2 row-gather engine; falls back when the table is big."""
+        import jax.numpy as jnp
+
+        from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
+
+        m = self.compiled
+        if not scan_rowdfa.fits(m):
+            return self._candidates_batched(cls)
+        rd = self.dev.row_dfa
+        windows = scan_rowdfa.chunk_classes2(cls, _BATCH_CHUNK, rd.halo)
+        bits = scan_rowdfa.rowdfa_emit_planes(
+            rd.table, jnp.asarray(windows), rd.halo, rd.state_bits,
+            rd.num_classes, 1,
         )
         return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
 
