@@ -164,6 +164,19 @@ class _DeviceTables:
         return cache["row_dfa"]
 
     @property
+    def row_dfa1(self):
+        """Stride-1 row-gather DFA for the v7 engine (lazy; scan_rowdfa)."""
+        cache = self.__dict__["_cache"]
+        if "row_dfa1" not in cache:
+            import jax.numpy as jnp
+
+            from ahocorasick_tpu.ops import scan_rowdfa
+
+            rd = scan_rowdfa.build_rowdfa1(self._m)
+            cache["row_dfa1"] = rd._replace(table=jnp.asarray(rd.table))
+        return cache["row_dfa1"]
+
+    @property
     def packed_dfa(self):
         """Packed goto-closure DFA for the batched-halo v4 engine (lazy)."""
         cache = self.__dict__["_cache"]
@@ -404,20 +417,31 @@ class _PfacEngine(_Matcher):
         return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
 
     def _candidates_rowdfa(self, cls: np.ndarray):
-        """v6 stride-2 row-gather engine; falls back when the table is big."""
+        """Row-gather engines: stride-2 (v6) when the (s, c0)-indexed table
+        fits VMEM, else stride-1 (v7) when the packed table fits, else the
+        element-gather batched engine (v4)."""
         import jax.numpy as jnp
 
         from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
 
         m = self.compiled
-        if not scan_rowdfa.fits(m):
+        which = scan_rowdfa.pick_engine(m)
+        if which == "batched":
             return self._candidates_batched(cls)
-        rd = self.dev.row_dfa
-        windows = scan_rowdfa.chunk_classes2(cls, _BATCH_CHUNK, rd.halo)
-        bits = scan_rowdfa.rowdfa_emit_planes(
-            rd.table, jnp.asarray(windows), rd.halo, rd.state_bits,
-            rd.num_classes, 1,
-        )
+        if which == "rowdfa2":
+            rd = self.dev.row_dfa
+            windows = scan_rowdfa.chunk_classes2(cls, _BATCH_CHUNK, rd.halo)
+            bits = scan_rowdfa.rowdfa_emit_planes(
+                rd.table, jnp.asarray(windows), rd.halo, rd.state_bits,
+                rd.num_classes, 1,
+            )
+        else:
+            rd = self.dev.row_dfa1
+            windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, rd.halo)
+            bits = scan_rowdfa.rowdfa1_emit_planes(
+                rd.table, jnp.asarray(windows), rd.halo, rd.state_bits,
+                rd.num_classes,
+            )
         return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
 
     def _candidates_batched2(self, cls: np.ndarray):

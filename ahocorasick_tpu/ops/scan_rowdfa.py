@@ -68,16 +68,20 @@ class RowDfa1(NamedTuple):
     num_classes: int
 
 
-def fits(m: CompiledMatcher, max_bytes: int = _MAX_BYTES) -> bool:
+def fits(m: CompiledMatcher, max_bytes: int | None = None) -> bool:
     """Stride-2 row table fits the VMEM budget."""
+    if max_bytes is None:
+        max_bytes = _MAX_BYTES
     S, A = m.num_states, m.num_classes
     d = max(m.max_depth, 1)
     state_bits = max(int(S - 1).bit_length(), 1)
     return state_bits + d <= 32 and S * A * (A + 1) * 4 <= max_bytes
 
 
-def fits1(m: CompiledMatcher, max_bytes: int = _MAX_BYTES_1) -> bool:
+def fits1(m: CompiledMatcher, max_bytes: int | None = None) -> bool:
     """Stride-1 row table fits the VMEM budget."""
+    if max_bytes is None:
+        max_bytes = _MAX_BYTES_1
     S, A = m.num_states, m.num_classes
     d = max(m.max_depth, 1)
     state_bits = max(int(S - 1).bit_length(), 1)
@@ -128,6 +132,76 @@ def _select_col(rows: jax.Array, c1: jax.Array, A: int) -> jax.Array:
     iota = lax.broadcasted_iota(jnp.int32, (1, A), 1)
     oh = iota == c1[:, None]
     return jnp.sum(jnp.where(oh, rows[:, :A], jnp.uint32(0)), axis=1)
+
+
+def pick_engine(m: CompiledMatcher) -> str:
+    """Fastest applicable device engine for this dictionary's table sizes."""
+    if fits(m):
+        return "rowdfa2"
+    if fits1(m):
+        return "rowdfa1"
+    return "batched"
+
+
+@functools.partial(jax.jit, static_argnames=("halo", "state_bits", "num_classes"))
+def rowdfa1_count(
+    table: jax.Array,  # uint32[S_pad, A_pad] packed next | emit << state_bits
+    windows: jax.Array,  # int32[B, halo + C]
+    halo: int,
+    state_bits: int,
+    num_classes: int,
+) -> jax.Array:
+    """Stride-1 row-gather count: one whole-row gather per character."""
+    A = num_classes
+    state_mask = jnp.uint32((1 << state_bits) - 1)
+
+    def warm(s, c):
+        v = _select_col(table[s], c, A)
+        return v & state_mask, None
+
+    s0 = (windows[:, 0] * 0).astype(jnp.uint32)
+    s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
+
+    def step(carry, c):
+        s, tot = carry
+        v = _select_col(table[s], c, A)
+        pop = lax.population_count(v >> jnp.uint32(state_bits))
+        return (v & state_mask, tot + jnp.sum(pop.astype(jnp.int32))), None
+
+    tot0 = (windows[0, 0] * 0).astype(jnp.int32)
+    (_, total), _ = lax.scan(step, (s_h, tot0), windows[:, halo:].T)
+    return total
+
+
+@functools.partial(jax.jit, static_argnames=("halo", "state_bits", "num_classes"))
+def rowdfa1_emit_planes(
+    table: jax.Array,  # uint32[S_pad, A_pad]
+    windows: jax.Array,  # int32[B, halo + C]
+    halo: int,
+    state_bits: int,
+    num_classes: int,
+) -> jax.Array:
+    """END-indexed emit planes uint32[1, B*C] via stride-1 row gathers.
+
+    Packed-inline layout guarantees the emit mask fits one plane
+    (state_bits + max_depth <= 32, see ``build_packed``)."""
+    A = num_classes
+    B, W = windows.shape
+    state_mask = jnp.uint32((1 << state_bits) - 1)
+
+    def warm(s, c):
+        v = _select_col(table[s], c, A)
+        return v & state_mask, None
+
+    s0 = (windows[:, 0] * 0).astype(jnp.uint32)
+    s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
+
+    def step(s, c):
+        v = _select_col(table[s], c, A)
+        return v & state_mask, v >> jnp.uint32(state_bits)
+
+    _, masks = lax.scan(step, s_h, windows[:, halo:].T)  # (C, B)
+    return masks.T.reshape(1, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("halo", "state_bits", "num_classes"))

@@ -88,7 +88,7 @@ def main() -> None:
     from jax import lax
 
     from ahocorasick_tpu.models.matchers import AhoCorasickSet
-    from ahocorasick_tpu.ops import scan_pfac2
+    from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
 
     rng = np.random.default_rng(SEED)
     keywords = make_dictionary(rng, N_KEYWORDS)
@@ -97,10 +97,27 @@ def main() -> None:
     m._bench_keywords = keywords
 
     cls = make_text_classes(m, rng, TEXT_UNITS)
-    from ahocorasick_tpu.ops import scan_batched
 
-    pd = m.dev.packed_dfa
-    windows = scan_batched.chunk_classes(cls, 512, pd.halo)
+    # The facade's engine pick for this dictionary (rowdfa1 at 10k keywords).
+    which = scan_rowdfa.pick_engine(m.compiled)
+    if which == "rowdfa2":
+        rd = m.dev.row_dfa
+        windows = scan_rowdfa.chunk_classes2(cls, 512, rd.halo)
+        count_fn = lambda t, w: scan_rowdfa.rowdfa_count(
+            t, w, rd.halo, rd.state_bits, rd.num_classes)
+        table = rd.table
+    elif which == "rowdfa1":
+        rd = m.dev.row_dfa1
+        windows = scan_batched.chunk_classes(cls, 512, rd.halo)
+        count_fn = lambda t, w: scan_rowdfa.rowdfa1_count(
+            t, w, rd.halo, rd.state_bits, rd.num_classes)
+        table = rd.table
+    else:
+        pd = m.dev.packed_dfa
+        windows = scan_batched.chunk_classes(cls, 512, pd.halo)
+        count_fn = lambda t, w: scan_batched.batched_count(
+            t, w, pd.halo, pd.state_bits)
+        table = pd.table
     wdev = jax.device_put(jnp.asarray(windows))
 
     @jax.jit
@@ -108,19 +125,19 @@ def main() -> None:
         def one(i, tot):
             # jnp.roll reorders lanes per rep: same total work, defeats CSE.
             wi = jnp.roll(w, i, axis=0)
-            return tot + scan_batched.batched_count(table, wi, pd.halo, pd.state_bits)
+            return tot + count_fn(table, wi)
 
         return lax.fori_loop(0, REPS, one, jnp.int32(0))
 
     # Warmup (compile) + correctness guard: count must be positive.
-    total = int(scan_batched.batched_count(pd.table, wdev, pd.halo, pd.state_bits))
+    total = int(count_fn(table, wdev))
     assert total > 0, "benchmark text produced zero matches"
 
-    float(reps_count(pd.table, wdev))  # compile
+    float(reps_count(table, wdev))  # compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(reps_count(pd.table, wdev))
+        float(reps_count(table, wdev))
         times.append(time.perf_counter() - t0)
     dt = min(times) / REPS
 

@@ -132,6 +132,96 @@ def test_fits_gate_fallback():
         mod._MAX_BYTES = orig
 
 
+def rowdfa1_triples(keywords, text, chunk, case_sensitive=True, kind="ac"):
+    m = compile_matcher(keywords, kind, case_sensitive)
+    dev = _DeviceTables(m)
+    cls = m.charmap[np.frombuffer(text.encode("utf-16-le"), dtype=np.uint16)]
+    assert scan_rowdfa.fits1(m)
+    rd = dev.row_dfa1
+    windows = scan_batched.chunk_classes(cls, chunk, rd.halo)
+    bits = scan_rowdfa.rowdfa1_emit_planes(
+        rd.table, jnp.asarray(windows), rd.halo, rd.state_bits, rd.num_classes
+    )
+    return scan_batched.ac_matches_batched(m, cls, np.asarray(bits)), m
+
+
+@pytest.mark.parametrize("chunk", [2, 8, 64, 512])
+def test_rowdfa1_exact_vs_gold(chunk):
+    from ahocorasick_tpu.core import gold
+
+    keywords = ["he", "she", "his", "hers", "ushers"]
+    text = "ushers said heshe hishers " * 5
+    (s, e, v), m = rowdfa1_triples(keywords, text, chunk)
+    expected = gold.gold_match(m, text)
+    assert list(zip(s.tolist(), e.tolist())) == [(a, b) for a, b, _ in expected]
+
+
+def test_rowdfa1_fuzz_vs_gold():
+    from ahocorasick_tpu.core import gold
+
+    rng = np.random.default_rng(17)
+    for trial in range(8):
+        kws = list({
+            "".join(rng.choice(list("abc"), size=int(rng.integers(1, 9))))
+            for _ in range(int(rng.integers(1, 40)))
+        })
+        text = "".join(rng.choice(list("abc "), size=int(rng.integers(1, 900))))
+        (s, e, _), m = rowdfa1_triples(kws, text, 64)
+        expected = gold.gold_match(m, text)
+        assert list(zip(s.tolist(), e.tolist())) == \
+            [(a, b) for a, b, _ in expected], (trial, kws)
+
+
+def test_pick_engine_tiers():
+    # tiny dict: stride-2
+    assert scan_rowdfa.pick_engine(compile_matcher(["ab", "ba"], "ac", True)) == "rowdfa2"
+    # mid dict gated out of stride-2 by a shrunk budget but into stride-1
+    m = compile_matcher(["ab", "ba"], "ac", True)
+    assert scan_rowdfa.fits1(m)
+    import ahocorasick_tpu.ops.scan_rowdfa as mod
+    orig2, orig1 = mod._MAX_BYTES, mod._MAX_BYTES_1
+    try:
+        mod._MAX_BYTES = 10
+        assert mod.pick_engine(m) == "rowdfa1"
+        mod._MAX_BYTES_1 = 10
+        assert mod.pick_engine(m) == "batched"
+    finally:
+        mod._MAX_BYTES, mod._MAX_BYTES_1 = orig2, orig1
+
+
+def test_rowdfa1_through_facade_mid_dictionary():
+    """A dictionary big enough to fail the stride-2 gate goes through the
+    stride-1 row engine inside the public facade, matching gold exactly."""
+    rng = np.random.default_rng(23)
+    kws = list({
+        "".join(rng.choice(list("abcdefghij"), size=int(rng.integers(3, 10))))
+        for _ in range(800)
+    })
+    m = compile_matcher(kws, "ac", True)
+    assert scan_rowdfa.pick_engine(m) in ("rowdfa1", "rowdfa2")
+    dev_m = AhoCorasickSet(kws, engine="device")
+    gold_m = AhoCorasickSet(kws, engine="gold")
+    text = " ".join(rng.choice(kws, size=200)) + " qqq " + "".join(
+        rng.choice(list("abcdefghij "), size=2000))
+    assert dev_m.match(text) == gold_m.match(text)
+
+
+def test_rowdfa1_count_kernel():
+    keywords = ["ab", "b", "aab"]
+    rng = np.random.default_rng(5)
+    text = "".join(rng.choice(list("ab "), size=3001))
+    m = compile_matcher(keywords, "ac", True)
+    dev = _DeviceTables(m)
+    cls = m.charmap[np.frombuffer(text.encode("utf-16-le"), dtype=np.uint16)]
+    rd = dev.row_dfa1
+    windows = scan_batched.chunk_classes(cls, 128, rd.halo)
+    total = int(scan_rowdfa.rowdfa1_count(
+        rd.table, jnp.asarray(windows), rd.halo, rd.state_bits, rd.num_classes))
+    from ahocorasick_tpu.core import gold
+
+    assert total == len(gold.gold_match(m, text))
+
+
 def test_empty_and_tiny_text():
     m = AhoCorasickSet(["ab"], engine="device")
     assert m.match("") == []
