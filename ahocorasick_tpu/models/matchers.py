@@ -177,6 +177,19 @@ class _DeviceTables:
         return cache["row_dfa1"]
 
     @property
+    def block_dfa(self):
+        """Flat VPU-lookup table for the Pallas block engine (v8; lazy)."""
+        cache = self.__dict__["_cache"]
+        if "block_dfa" not in cache:
+            import jax.numpy as jnp
+
+            from ahocorasick_tpu.kernels import scan_block
+
+            bd = scan_block.build_block(self._m)
+            cache["block_dfa"] = bd._replace(table=jnp.asarray(bd.table))
+        return cache["block_dfa"]
+
+    @property
     def packed_dfa(self):
         """Packed goto-closure DFA for the batched-halo v4 engine (lazy)."""
         cache = self.__dict__["_cache"]
@@ -428,6 +441,21 @@ class _PfacEngine(_Matcher):
         which = scan_rowdfa.pick_engine(m)
         if which == "batched":
             return self._candidates_batched(cls)
+        if which == "block":
+            from ahocorasick_tpu.kernels import scan_block
+
+            bd = self.dev.block_dfa
+            windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, bd.halo)
+            W = windows.shape[1]
+            wt = jnp.asarray(scan_block.regroup_windows(windows))
+            G = wt.shape[0] // (W * 8)
+            bits = scan_block.block_emit_planes(
+                bd.table, wt, bd.halo, bd.state_bits, bd.num_classes,
+                bd.num_blocks, W, G,
+            )
+            # Padded lanes (B rounded to G*1024 windows) trail the text; the
+            # extractor trims to len(cls).
+            return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
         if which == "rowdfa2":
             rd = self.dev.row_dfa
             windows = scan_rowdfa.chunk_classes2(cls, _BATCH_CHUNK, rd.halo)

@@ -134,13 +134,26 @@ def _select_col(rows: jax.Array, c1: jax.Array, A: int) -> jax.Array:
     return jnp.sum(jnp.where(oh, rows[:, :A], jnp.uint32(0)), axis=1)
 
 
+# Measured v5e per-character costs (ns) — docs/PERF.md "Engine lineage".
+_NS_BATCHED = 8.5  # element gather
+_NS_ROWDFA1 = 2.4  # one row gather + one-hot select
+_NS_ROWDFA2 = 1.33  # one row gather per TWO characters
+_NS_BLOCK_BASE, _NS_BLOCK_PER_R = 0.19, 0.00179  # VPU select chain, R rounds
+
+
 def pick_engine(m: CompiledMatcher) -> str:
-    """Fastest applicable device engine for this dictionary's table sizes."""
-    if fits(m):
-        return "rowdfa2"
+    """Fastest applicable device engine by measured per-char cost model."""
+    from ahocorasick_tpu.kernels import scan_block
+
+    cands = [("batched", _NS_BATCHED)]
     if fits1(m):
-        return "rowdfa1"
-    return "batched"
+        cands.append(("rowdfa1", _NS_ROWDFA1))
+    if fits(m):
+        cands.append(("rowdfa2", _NS_ROWDFA2))
+    if scan_block.fits(m):
+        R = -(-(m.num_states * m.num_classes) // 128)
+        cands.append(("block", _NS_BLOCK_BASE + _NS_BLOCK_PER_R * R))
+    return min(cands, key=lambda kv: kv[1])[0]
 
 
 @functools.partial(jax.jit, static_argnames=("halo", "state_bits", "num_classes"))

@@ -100,7 +100,18 @@ def main() -> None:
 
     # The facade's engine pick for this dictionary (rowdfa1 at 10k keywords).
     which = scan_rowdfa.pick_engine(m.compiled)
-    if which == "rowdfa2":
+    if which == "block":
+        from ahocorasick_tpu.kernels import scan_block
+
+        bd = m.dev.block_dfa
+        windows0 = scan_batched.chunk_classes(cls, 512, bd.halo)
+        W = windows0.shape[1]
+        windows = scan_block.regroup_windows(windows0)
+        G = windows.shape[0] // (W * 8)
+        count_fn = lambda t, w: scan_block.block_count(
+            t, w, bd.halo, bd.state_bits, bd.num_classes, bd.num_blocks, W, G)
+        table = bd.table
+    elif which == "rowdfa2":
         rd = m.dev.row_dfa
         windows = scan_rowdfa.chunk_classes2(cls, 512, rd.halo)
         count_fn = lambda t, w: scan_rowdfa.rowdfa_count(

@@ -173,20 +173,24 @@ def test_rowdfa1_fuzz_vs_gold():
 
 
 def test_pick_engine_tiers():
-    # tiny dict: stride-2
-    assert scan_rowdfa.pick_engine(compile_matcher(["ab", "ba"], "ac", True)) == "rowdfa2"
-    # mid dict gated out of stride-2 by a shrunk budget but into stride-1
+    from ahocorasick_tpu.kernels import scan_block
+
+    # tiny dict: Pallas block kernel wins
     m = compile_matcher(["ab", "ba"], "ac", True)
+    assert scan_rowdfa.pick_engine(m) == "block"
     assert scan_rowdfa.fits1(m)
     import ahocorasick_tpu.ops.scan_rowdfa as mod
-    orig2, orig1 = mod._MAX_BYTES, mod._MAX_BYTES_1
+    orig2, orig1, origb = mod._MAX_BYTES, mod._MAX_BYTES_1, scan_block.MAX_ENTRIES
     try:
+        scan_block.MAX_ENTRIES = 4
+        assert mod.pick_engine(m) == "rowdfa2"
         mod._MAX_BYTES = 10
         assert mod.pick_engine(m) == "rowdfa1"
         mod._MAX_BYTES_1 = 10
         assert mod.pick_engine(m) == "batched"
     finally:
         mod._MAX_BYTES, mod._MAX_BYTES_1 = orig2, orig1
+        scan_block.MAX_ENTRIES = origb
 
 
 def test_rowdfa1_through_facade_mid_dictionary():
@@ -198,12 +202,19 @@ def test_rowdfa1_through_facade_mid_dictionary():
         for _ in range(800)
     })
     m = compile_matcher(kws, "ac", True)
-    assert scan_rowdfa.pick_engine(m) in ("rowdfa1", "rowdfa2")
-    dev_m = AhoCorasickSet(kws, engine="device")
-    gold_m = AhoCorasickSet(kws, engine="gold")
-    text = " ".join(rng.choice(kws, size=200)) + " qqq " + "".join(
-        rng.choice(list("abcdefghij "), size=2000))
-    assert dev_m.match(text) == gold_m.match(text)
+    # force past the block tier so the row engines handle it
+    import ahocorasick_tpu.kernels.scan_block as sb
+    origb = sb.MAX_ENTRIES
+    sb.MAX_ENTRIES = 4
+    try:
+        assert scan_rowdfa.pick_engine(m) in ("rowdfa1", "rowdfa2")
+        dev_m = AhoCorasickSet(kws, engine="device")
+        gold_m = AhoCorasickSet(kws, engine="gold")
+        text = " ".join(rng.choice(kws, size=200)) + " qqq " + "".join(
+            rng.choice(list("abcdefghij "), size=2000))
+        assert dev_m.match(text) == gold_m.match(text)
+    finally:
+        sb.MAX_ENTRIES = origb
 
 
 def test_rowdfa1_count_kernel():
