@@ -177,6 +177,26 @@ class _DeviceTables:
         return cache["row_dfa1"]
 
     @property
+    def split_dfa(self):
+        """Flat next-state + per-state emit planes for the split-gather path
+        (big dictionaries where the packed layout overflows; lazy)."""
+        cache = self.__dict__["_cache"]
+        if "split_dfa" not in cache:
+            import jax.numpy as jnp
+
+            from ahocorasick_tpu.ops import scan_batched
+
+            pd = scan_batched.build_packed(self._m)
+            assert pd.emit_mask is not None
+            flat = pd.table.astype(np.int32).reshape(-1)
+            cache["split_dfa"] = (
+                jnp.asarray(flat),
+                jnp.asarray(pd.emit_mask),
+                pd.halo,
+            )
+        return cache["split_dfa"]
+
+    @property
     def block_dfa(self):
         """Flat VPU-lookup table for the Pallas block engine (v8; lazy)."""
         cache = self.__dict__["_cache"]
@@ -411,21 +431,28 @@ class _PfacEngine(_Matcher):
         return self._candidates_batched(cls)
 
     def _candidates_batched(self, cls: np.ndarray):
-        m = self.compiled
-        pd = self.dev.packed_dfa
-        if pd.emit_mask is not None:
-            # Packed layout doesn't fit (state_bits + max_depth > 32, i.e.
-            # huge dictionary with long keywords): the walk engine handles it.
-            return self._candidates_pfac2(cls)
         import jax.numpy as jnp
 
         from ahocorasick_tpu.ops import scan_batched
 
+        m = self.compiled
         d = max(m.max_depth, 1)
-        planes = (d + 31) // 32
+        state_bits = max(int(m.num_states - 1).bit_length(), 1)
+        if state_bits + d > 32:
+            # Packed layout overflows (huge dictionary with long keywords):
+            # split path — one next-state gather + P emit gathers per char.
+            dfa_flat, emit_tab, halo = self.dev.split_dfa
+            planes = (d + 31) // 32
+            windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, halo)
+            bits = scan_batched.split_emit_planes(
+                dfa_flat, emit_tab, jnp.asarray(windows), halo,
+                m.num_classes, planes,
+            )
+            return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
+        pd = self.dev.packed_dfa
         windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, pd.halo)
         bits = scan_batched.batched_emit_planes(
-            pd.table, jnp.asarray(windows), pd.halo, pd.state_bits, planes
+            pd.table, jnp.asarray(windows), pd.halo, pd.state_bits, 1
         )
         return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
 

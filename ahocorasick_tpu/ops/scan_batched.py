@@ -49,7 +49,7 @@ PAD_CLASS = 0
 
 class PackedDfa(NamedTuple):
     table: np.ndarray  # uint32[S, A]: next | emit_mask << state_bits (packed mode)
-    emit_mask: Optional[np.ndarray]  # uint32[S] when not packed inline, else None
+    emit_mask: Optional[np.ndarray]  # uint32[S, P] emit planes when split, else None
     state_bits: int  # 32 when not packed inline
     halo: int  # d - 1
 
@@ -62,9 +62,11 @@ def build_packed(m: CompiledMatcher) -> PackedDfa:
     halo = d
     state_bits = max(int(S - 1).bit_length(), 1)
 
-    # Per-state emit mask: bit L-1 set iff a keyword of length L ends at
-    # this state (own + suffix chain) — vectorized for million-state dicts.
-    emit_mask = np.zeros(S, dtype=np.uint64)
+    # Per-state emit planes: bit L-1 (plane (L-1)//32) set iff a keyword of
+    # length L ends at this state (own + suffix chain) — vectorized for
+    # million-state dicts.
+    P = (d + 31) // 32
+    planes = np.zeros((S, P), dtype=np.uint32)
     if m.emit_count is not None:
         counts = m.emit_count[:S].astype(np.int64)
         pos = np.nonzero(counts)[0]
@@ -76,18 +78,16 @@ def build_packed(m: CompiledMatcher) -> PackedDfa:
             )
             eidx = np.repeat(m.emit_start[pos].astype(np.int64), reps) + offs
             st_rep = np.repeat(pos, reps)
+            bit = m.emit_len[eidx].astype(np.int64) - 1
             np.bitwise_or.at(
-                emit_mask, st_rep,
-                np.uint64(1) << (m.emit_len[eidx].astype(np.uint64) - np.uint64(1)),
+                planes, (st_rep, bit >> 5), np.uint32(1) << (bit & 31).astype(np.uint32)
             )
     if state_bits + d <= 32:
         packed = m.dfa_next.astype(np.uint32) | (
-            emit_mask[m.dfa_next].astype(np.uint32) << np.uint32(state_bits)
+            planes[:, 0][m.dfa_next] << np.uint32(state_bits)
         )
         return PackedDfa(packed, None, state_bits, halo)
-    return PackedDfa(
-        m.dfa_next.astype(np.uint32), emit_mask.astype(np.uint32), 32, halo
-    )
+    return PackedDfa(m.dfa_next.astype(np.uint32), planes, 32, halo)
 
 
 def chunk_classes(cls: np.ndarray, chunk: int, halo: int) -> np.ndarray:
@@ -160,6 +160,72 @@ def batched_count(
         v = table[s, c]
         pop = jax.lax.population_count(v >> jnp.uint32(state_bits))
         return (v & state_mask, tot + jnp.sum(pop.astype(jnp.int32))), None
+
+    tot0 = (windows[0, 0] * 0).astype(jnp.int32)
+    (_, total), _ = lax.scan(step, (s_h, tot0), windows[:, halo:].T)
+    return total
+
+
+@functools.partial(jax.jit, static_argnames=("halo", "num_classes", "num_planes"))
+def split_emit_planes(
+    dfa_flat: jax.Array,  # int32[S*A] next-state table, flat s*A + c
+    emit_tab: jax.Array,  # uint32[S, P] per-state emit planes
+    windows: jax.Array,  # int32[B, halo + C]
+    halo: int,
+    num_classes: int,
+    num_planes: int,
+) -> jax.Array:
+    """END-indexed emit planes for dictionaries whose packed layout overflows
+    (state_bits + max_depth > 32): 1 + P element gathers per character.
+    Reference analog: the same ``output()`` semantics, just a wider emit set
+    (``AhoCorasickSet.java:522-535``)."""
+    B = windows.shape[0]
+    C = windows.shape[1] - halo
+    A = jnp.int32(num_classes)
+
+    def warm(s, c):
+        return dfa_flat[s * A + c], None
+
+    s0 = (windows[:, 0] * 0).astype(jnp.int32)
+    s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
+
+    def step(s, c):
+        s2 = dfa_flat[s * A + c]
+        if num_planes == 1:
+            em = emit_tab[s2, 0][:, None]
+        else:
+            em = emit_tab[s2]  # (B, P)
+        return s2, em
+
+    _, masks = lax.scan(step, s_h, windows[:, halo:].T)  # (C, B, P)
+    flat = masks.transpose(2, 1, 0).reshape(num_planes, B * C)
+    return flat
+
+
+@functools.partial(jax.jit, static_argnames=("halo", "num_classes", "num_planes"))
+def split_count(
+    dfa_flat: jax.Array,
+    emit_tab: jax.Array,
+    windows: jax.Array,
+    halo: int,
+    num_classes: int,
+    num_planes: int,
+) -> jax.Array:
+    A = jnp.int32(num_classes)
+
+    def warm(s, c):
+        return dfa_flat[s * A + c], None
+
+    s0 = (windows[:, 0] * 0).astype(jnp.int32)
+    s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
+
+    def step(carry, c):
+        s, tot = carry
+        s2 = dfa_flat[s * A + c]
+        pop = jnp.zeros(s2.shape, jnp.int32)
+        for p in range(num_planes):
+            pop = pop + lax.population_count(emit_tab[s2, p]).astype(jnp.int32)
+        return (s2, tot + jnp.sum(pop)), None
 
     tot0 = (windows[0, 0] * 0).astype(jnp.int32)
     (_, total), _ = lax.scan(step, (s_h, tot0), windows[:, halo:].T)
