@@ -32,8 +32,121 @@ def word_soup(rng: np.random.Generator, keywords: list, n_units: int, hit_rate=0
     return " ".join(pieces)[:n_units]
 
 
+def run_config(label: str, *, kind: str, is_map: bool, keywords: list,
+               case_sensitive: bool, text: str, reps: int = 3,
+               engine: str = "device", word_chars=None) -> dict:
+    """Build one matcher, scan one text, return the stats record."""
+    from ahocorasick_tpu.models import matchers
+
+    cls = matchers._CLASS_BY_KIND[(kind, is_map)]
+    kwargs = {"engine": engine}
+    if word_chars is not None:
+        kwargs["word_chars"] = word_chars
+    t0 = time.perf_counter()
+    if is_map:
+        m = cls(keywords, list(range(len(keywords))), case_sensitive, **kwargs)
+    else:
+        m = cls(keywords, case_sensitive, **kwargs)
+    compile_s = time.perf_counter() - t0
+
+    m.count(text)  # warmup / jit compile
+    best = None
+    for _ in range(reps):
+        m.count(text)
+        s = m.last_stats
+        if best is None or s.seconds < best.seconds:
+            best = s
+
+    kernel_gbps = None
+    if kind in ("ac", "longest", "whole_word") and engine == "device":
+        from ahocorasick_tpu.bench import ac_kernel_rate
+
+        cls_arr = m._classes(text)
+        kernel_gbps, _, _ = ac_kernel_rate(m, cls_arr, reps=max(4, reps))
+    return {
+        "config": label,
+        "kind": kind,
+        "map": is_map,
+        "engine": best.engine,
+        "keywords": len(keywords),
+        "num_states": m.compiled.num_states,
+        "units": best.units,
+        "matches": best.matches,
+        "compile_s": round(compile_s, 3),
+        "scan_s": round(best.seconds, 6),
+        "gbps": round(best.gbps, 3),
+        "kernel_gbps": round(kernel_gbps, 3) if kernel_gbps is not None else None,
+        "matches_per_sec": round(best.matches_per_sec, 1),
+    }
+
+
+def baseline_suite(full: bool, reps: int, seed: int) -> None:
+    """The five BASELINE.json configs (scaled to one chip unless --full).
+
+    Config #5's multi-host corpus sharding is exercised by
+    ``parallel/corpus.py`` + ``__graft_entry__.dryrun_multichip``; here it
+    runs the 1M-keyword dictionary single-chip (the per-chip shard of that
+    workload).
+    """
+    rng = np.random.default_rng(seed)
+
+    # 1: 100 ASCII keywords, case-sensitive English-like text (the spec says
+    # 1 MB; kernel rate is measured at 16 MiB so fixed dispatch overheads
+    # don't mask the small-dictionary engine's throughput)
+    kws = english_like_keywords(rng, 100)
+    print(json.dumps(run_config(
+        "baseline-1-small-set", kind="ac", is_map=False, keywords=kws,
+        case_sensitive=True, text=word_soup(rng, kws, 1 << 23), reps=reps)))
+
+    # 2: 10k-keyword map, case-insensitive folding, 100 MB corpus (scaled
+    # to 16 MiB units unless --full)
+    kws = english_like_keywords(rng, 10_000)
+    units = (50 << 20) if full else (1 << 23)
+    print(json.dumps(run_config(
+        "baseline-2-map-folded", kind="ac", is_map=True, keywords=kws,
+        case_sensitive=False, text=word_soup(rng, kws, units).upper(),
+        reps=reps)))
+
+    # 3: longest + shortest, 100k keywords, adversarial overlap text
+    kws = english_like_keywords(rng, 100_000)
+    adversarial = ("a" * 28 + "b") * ((1 << 21) // 29) + word_soup(
+        rng, kws, 1 << 21)
+    kws3 = kws + ["a" * i for i in range(1, 9)]
+    for kind in ("longest", "shortest"):
+        print(json.dumps(run_config(
+            f"baseline-3-{kind}-adversarial", kind=kind, is_map=False,
+            keywords=kws3, case_sensitive=True, text=adversarial, reps=reps)))
+
+    # 4: whole-word longest, Unicode word chars with custom overrides
+    from ahocorasick_tpu.utils import chartables
+
+    wc = chartables.default_word_chars().copy()
+    wc[ord("'")] = True  # custom override: apostrophes are word chars
+    kws4 = english_like_keywords(rng, 1000) + ["naïve", "can't", "übermäßig"]
+    text4 = word_soup(rng, kws4, 1 << 20) + " can't naïve übermäßig can'tx"
+    print(json.dumps(run_config(
+        "baseline-4-wholeword-unicode", kind="whole_word_longest",
+        is_map=False, keywords=kws4, case_sensitive=True, text=text4,
+        reps=reps, word_chars=wc)))
+
+    # 5: 1M-keyword dictionary (single-chip shard of the multi-host config)
+    if full:
+        kws = english_like_keywords(rng, 1_000_000)
+        print(json.dumps(run_config(
+            "baseline-5-1m-keywords", kind="ac", is_map=False, keywords=kws,
+            case_sensitive=True, text=word_soup(rng, kws, 1 << 22),
+            reps=max(1, reps - 1))))
+    else:
+        print(json.dumps({"config": "baseline-5-1m-keywords",
+                          "skipped": "pass --full (compile ~1 min, large upload)"}))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="python -m ahocorasick_tpu.bench")
+    p.add_argument("--suite", choices=("baseline",), default=None,
+                   help="run the BASELINE.json config suite instead of one config")
+    p.add_argument("--full", action="store_true",
+                   help="suite at full scale (100 MB corpus, 1M keywords)")
     p.add_argument("--kind", choices=KINDS, default="ac")
     p.add_argument("--map", action="store_true", help="map variant (values attached)")
     p.add_argument("--keywords", type=int, default=10_000)
@@ -56,6 +169,10 @@ def main(argv=None) -> None:
         # Env vars are overridden by site-level backend pinning; the config
         # knob after import is authoritative (see tests/conftest.py).
         jax.config.update("jax_platforms", "cpu")
+
+    if args.suite == "baseline":
+        baseline_suite(args.full, args.reps, args.seed)
+        return
 
     from ahocorasick_tpu.models import matchers
 
