@@ -31,6 +31,10 @@ def ac_kernel_rate(m, cls: np.ndarray, reps: int = 8, chunk: int = 512):
 
     from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
 
+    # Scale reps so the timed work stays well above per-dispatch overhead
+    # (~tens of ms through the tunnel): target >= 128 Mi units per call.
+    reps = max(reps, -(-(128 << 20) // max(len(cls), 1)))
+
     c = m.compiled
     which = scan_rowdfa.pick_engine(c)
     if which == "block":

@@ -141,8 +141,57 @@ def baseline_suite(full: bool, reps: int, seed: int) -> None:
                           "skipped": "pass --full (compile ~1 min, large upload)"}))
 
 
+def scaling_bench(keywords_n: int, units: int, reps: int, seed: int) -> None:
+    """Bytes/s scaling efficiency across the available device mesh.
+
+    The BASELINE target is >=90% bytes/s efficiency from 1 chip to N>=2
+    hosts; this measures the same quantity on whatever devices exist here
+    (one real TPU chip, or a virtual CPU mesh under
+    ``--xla_force_host_platform_device_count``).  Communication per scan is
+    one ppermute halo (tiny) + one psum scalar, so efficiency loss is pure
+    launch overhead.
+    """
+    import jax
+
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+    from ahocorasick_tpu.parallel import sharding
+
+    rng = np.random.default_rng(seed)
+    keywords = english_like_keywords(rng, keywords_n)
+    m = AhoCorasickSet(keywords, engine="device")
+    text = word_soup(rng, keywords, units)
+    cls = m._classes(text)
+
+    devices = jax.devices()
+    sizes = sorted({1, 2, len(devices)} & set(range(1, len(devices) + 1)))
+    rate1 = None
+    for n in sizes:
+        mesh = sharding.data_mesh(devices[:n])
+        prepare, count, engine = sharding.make_sharded_counter(m, mesh)
+        x = prepare(cls)
+        int(count(x, reps=1))  # compile + correctness path
+        import jax.numpy as jnp  # noqa: F401
+
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            int(count(x, reps=reps))
+            best = min(best, time.perf_counter() - t0)
+        rate = units * 2 * reps / best / 1e9
+        if rate1 is None:
+            rate1 = rate
+        print(json.dumps({
+            "devices": n,
+            "engine": engine,
+            "gbps": round(rate, 3),
+            "efficiency_vs_1": round(rate / (rate1 * n), 3),
+        }))
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="python -m ahocorasick_tpu.bench")
+    p.add_argument("--scaling", action="store_true",
+                   help="measure bytes/s scaling efficiency over the device mesh")
     p.add_argument("--suite", choices=("baseline",), default=None,
                    help="run the BASELINE.json config suite instead of one config")
     p.add_argument("--full", action="store_true",
@@ -170,6 +219,9 @@ def main(argv=None) -> None:
         # knob after import is authoritative (see tests/conftest.py).
         jax.config.update("jax_platforms", "cpu")
 
+    if args.scaling:
+        scaling_bench(args.keywords, args.units, max(args.reps, 4), args.seed)
+        return
     if args.suite == "baseline":
         baseline_suite(args.full, args.reps, args.seed)
         return

@@ -93,3 +93,56 @@ def test_sharded_arrival_states_match_flat():
     states = sharded_arrival_states(m.dev.dfa_next, cls, data_mesh())
     flat = np.asarray(scan_dfa.dfa_states(m.dev.dfa_next, jnp.asarray(cls.astype(np.int32))))
     np.testing.assert_array_equal(states, flat)
+
+
+def test_make_sharded_counter_all_tiers():
+    """Best-engine sharded counter: each tier counts exactly, on the mesh."""
+    import numpy as np
+
+    from ahocorasick_tpu.core import gold
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+    from ahocorasick_tpu.ops import scan_rowdfa
+    from ahocorasick_tpu.parallel import sharding
+
+    rng = np.random.default_rng(77)
+    mesh = sharding.data_mesh()
+
+    cases = {
+        # block tier: tiny dictionary
+        "block": ["he", "she", "hers"],
+        # split tier: long keywords overflow the packed layout
+        "batched": ["a" * 35, "b" * 33, "ab" * 17],
+    }
+    # a mid dictionary for a row tier (whichever the model picks)
+    cases["row"] = list({
+        "".join(rng.choice(list("abcdefgh"), size=int(rng.integers(3, 9))))
+        for _ in range(900)
+    })
+
+    for label, kws in cases.items():
+        m = AhoCorasickSet(kws, engine="gold")
+        which = scan_rowdfa.pick_engine(m.compiled)
+        if label == "block":
+            assert which == "block"
+        if label == "batched":
+            assert which == "batched"
+        text = "".join(rng.choice(list("abhersx "), size=7001))
+        if label == "batched":
+            text += "a" * 40 + " " + "ab" * 17
+        prepare, count, engine = sharding.make_sharded_counter(m, mesh)
+        assert engine == which
+        total = int(count(prepare(m._classes(text))))
+        assert total == len(gold.gold_match(m.compiled, text)), (label, engine)
+
+
+def test_make_sharded_counter_reps_scale_counts():
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+    from ahocorasick_tpu.parallel import sharding
+
+    m = AhoCorasickSet(["ab", "ba"], engine="gold")
+    mesh = sharding.data_mesh()
+    prepare, count, _ = sharding.make_sharded_counter(m, mesh)
+    x = prepare(m._classes("abba " * 400))
+    one = int(count(x, reps=1))
+    # rolled windows change emit positions but the total stays proportional
+    assert int(count(x, reps=1)) == one
