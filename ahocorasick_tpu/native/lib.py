@@ -56,6 +56,9 @@ def _load():
     lib.ac_follow_chain.argtypes = [i64p, u8p, i64p, i64p, i64p, i64p,
                                     ctypes.c_int64, ctypes.c_int64,
                                     i64p, i64p, i64p]
+    lib.ac_resolve_longest.restype = ctypes.c_int64
+    lib.ac_resolve_longest.argtypes = [i64p, i64p, i64p, ctypes.c_int64,
+                                       i64p, i64p, i64p]
     _lib = lib
     return _lib
 
@@ -163,3 +166,24 @@ def follow_chain(die_pos, has, m_start, m_end, m_val, ws, n) -> List[Tuple[int, 
         _ptr(out_s, i64), _ptr(out_e, i64), _ptr(out_v, i64),
     )
     return list(zip(out_s[:k].tolist(), out_e[:k].tolist(), out_v[:k].tolist()))
+
+
+def resolve_longest(starts, ends, vals):
+    """Native leftmost-longest resolver (exact SetMatchQueue semantics);
+    mirror of resolve/queue.py::resolve_longest, which is the parity oracle."""
+    lib = _load()
+    assert lib, "native library unavailable"
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(starts)
+    out_s = np.empty(max(n, 1), dtype=np.int64)
+    out_e = np.empty(max(n, 1), dtype=np.int64)
+    out_v = np.empty(max(n, 1), dtype=np.int64)
+    i64 = ctypes.c_int64
+    k = lib.ac_resolve_longest(
+        _ptr(starts, i64), _ptr(ends, i64), _ptr(vals, i64),
+        ctypes.c_int64(n), _ptr(out_s, i64), _ptr(out_e, i64),
+        _ptr(out_v, i64),
+    )
+    return out_s[:k], out_e[:k], out_v[:k]

@@ -434,4 +434,31 @@ int64_t ac_follow_chain(const int64_t* die_pos, const uint8_t* has,
   return out;
 }
 
+// Leftmost-longest overlap resolution over end-sorted candidates —
+// identical algorithm to resolve/queue.py::resolve_longest (which is the
+// parity oracle); semantics pinned to SetMatchQueue.java:59-94.
+int64_t ac_resolve_longest(const int64_t* starts, const int64_t* ends,
+                           const int64_t* vals, int64_t n, int64_t* out_s,
+                           int64_t* out_e, int64_t* out_v) {
+  int64_t top = -1;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t s = starts[i], e = ends[i], v = vals[i];
+    int64_t j = top;
+    while (j >= 0 && out_s[j] > s) --j;
+    if (j < 0) {
+      top = 0;  // new leftmost: displace the whole queue
+    } else if (s >= out_e[j]) {
+      top = j + 1;  // non-overlapping: append, dropping contained tail
+    } else if (s == out_s[j] && e > out_e[j]) {
+      top = j;  // same start, longer: replace (and drop tail)
+    } else {
+      continue;  // overlapping later start: leftmost wins
+    }
+    out_s[top] = s;
+    out_e[top] = e;
+    out_v[top] = v;
+  }
+  return top + 1;
+}
+
 }  // extern "C"

@@ -99,11 +99,27 @@ def resolve_longest(
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Resolve a full candidate array to leftmost-longest non-overlapping.
 
-    Candidates must be sorted by ``(end asc, start asc)`` — the order in
-    which the reference's scan loop offers them (all matches ending at a
-    position, longest first).  Implemented as a single numpy-backed stack
-    pass; the accepted set equals running ``MatchQueue.push`` over every
-    candidate (see module docstring for the equivalence argument).
+    Candidates must be sorted by ``(end asc, start asc)``.  Dispatches to
+    the native C resolver when available (identical algorithm; adversarial
+    inputs produce millions of candidates and the Python loop below — kept
+    as the parity oracle — is ~100x slower there).
+    """
+    try:
+        from ahocorasick_tpu.native import lib as native_lib
+
+        if native_lib.available():
+            return native_lib.resolve_longest(starts, ends, vals)
+    except Exception:
+        pass
+    return resolve_longest_py(starts, ends, vals)
+
+
+def resolve_longest_py(
+    starts: np.ndarray, ends: np.ndarray, vals: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pure-Python stack pass; the accepted set equals running
+    ``MatchQueue.push`` over every candidate (see module docstring for the
+    equivalence argument).  Parity oracle for the native resolver.
     """
     n = len(starts)
     out_s = np.empty(n, dtype=np.int64)

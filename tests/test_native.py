@@ -126,3 +126,29 @@ def test_follow_chain_parity():
             break
         i = int(ws[j])
     assert native == out
+
+
+def test_native_resolve_longest_parity_fuzz():
+    """Native resolver == Python oracle on random candidate streams."""
+    import numpy as np
+
+    from ahocorasick_tpu.native import lib as native_lib
+    from ahocorasick_tpu.resolve.queue import resolve_longest_py
+
+    if not native_lib.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(13)
+    for trial in range(20):
+        n = int(rng.integers(0, 400))
+        ends = np.sort(rng.integers(1, 120, size=n)).astype(np.int64)
+        lens = rng.integers(1, 12, size=n).astype(np.int64)
+        starts = np.maximum(ends - lens, 0)
+        # reference offer order: end asc, start asc
+        order = np.lexsort((starts, ends))
+        starts, ends = starts[order], ends[order]
+        vals = rng.integers(0, 50, size=n).astype(np.int64)
+        got = native_lib.resolve_longest(starts, ends, vals)
+        exp = resolve_longest_py(starts, ends, vals)
+        assert [g.tolist() for g in got] == [e.tolist() for e in exp], trial
