@@ -27,7 +27,7 @@ from typing import Optional
 
 import numpy as np
 
-from ahocorasick_tpu.core.compiler import CompiledMatcher
+from ahocorasick_tpu.core.compiler import CompiledMatcher, RowTable
 
 FORMAT_VERSION = 1
 
@@ -41,6 +41,10 @@ def save(m: CompiledMatcher, path) -> None:
         v = getattr(m, f.name)
         if isinstance(v, np.ndarray):
             arrays[f.name] = v
+        elif isinstance(v, RowTable):
+            # Row-compressed tables persist as their two component arrays.
+            arrays[f.name + "__rows"] = v.rows
+            arrays[f.name + "__rowid"] = v.row_id
     meta = {name: getattr(m, name) for name in _META_FIELDS}
     meta["format_version"] = FORMAT_VERSION
     meta["has_values"] = m.values is not None
@@ -89,6 +93,8 @@ def load(path, allow_pickle: bool = False) -> CompiledMatcher:
                 kwargs[f.name] = values
             elif f.name in z.files:
                 kwargs[f.name] = z[f.name]
+            elif f.name + "__rows" in z.files:
+                kwargs[f.name] = RowTable(z[f.name + "__rows"], z[f.name + "__rowid"])
             else:
                 kwargs[f.name] = None
         return CompiledMatcher(**kwargs)

@@ -47,6 +47,56 @@ WHOLE_WORD_LONGEST = "whole_word_longest"
 
 KINDS = (AC, LONGEST, SHORTEST, WHOLE_WORD, WHOLE_WORD_LONGEST)
 
+# Dense-table budget in int32 entries per table (2 GB).  Dictionaries whose
+# (states + 1) x classes footprint exceeds this keep the row-deduplicated
+# representation (``RowTable``) instead of materializing dense arrays.  The
+# reference's full-alphabet case (testFullNode: 64Ki single-char keywords,
+# SetTest.java:73-79) is the motivating extreme: S = A = 64Ki would need two
+# 16 GB tables dense, but has only TWO distinct transition rows.
+_DENSE_LIMIT = 1 << 29
+
+
+class RowTable:
+    """Row-deduplicated 2-D transition table, logically ``table[s, c]``.
+
+    The moral heir of the reference's ``RangeNode`` memory policy
+    (``AhoCorasickSet.java:417-495``): per-state transition rows are
+    hash-consed during construction — a state with no own trie edges shares
+    its fail state's goto-closure row outright — so wide-alphabet
+    dictionaries stay linear in *distinct* rows instead of quadratic in
+    states x classes.  Supports the host-side access patterns of the gold
+    engines, streaming cursors and value re-walk (scalar and fancy
+    ``[s, c]`` indexing, ``[s]`` row fetch); device engines require dense
+    tables and fall back to the gold path (models/matchers.py).
+    """
+
+    __slots__ = ("rows", "row_id")
+
+    def __init__(self, rows: np.ndarray, row_id: np.ndarray) -> None:
+        self.rows = rows  # int32[R, A] distinct rows
+        self.row_id = row_id  # int32[S] state -> row
+
+    @property
+    def shape(self):
+        return (len(self.row_id), self.rows.shape[1])
+
+    @property
+    def dtype(self):
+        return self.rows.dtype
+
+    @property
+    def nbytes(self) -> int:
+        return self.rows.nbytes + self.row_id.nbytes
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):
+            s, c = key
+            return self.rows[self.row_id[s], c]
+        return self.rows[self.row_id[key]]
+
+    def materialize(self) -> np.ndarray:
+        return self.rows[self.row_id]
+
 
 @dataclasses.dataclass(frozen=True)
 class CompiledMatcher:
@@ -90,9 +140,16 @@ class CompiledMatcher:
         total = 0
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
-            if isinstance(v, np.ndarray):
+            if isinstance(v, (np.ndarray, RowTable)):
                 total += v.nbytes
         return total
+
+    @property
+    def is_row_compressed(self) -> bool:
+        """True when the transition tables kept the row-deduplicated form
+        (wide-alphabet dictionaries over the dense budget); device engines
+        need dense tables, so matching runs on the gold path."""
+        return isinstance(self.trie_next, RowTable)
 
 
 class _Trie:
@@ -133,6 +190,22 @@ def _fold_units(keyword: str, case_sensitive: bool) -> np.ndarray:
     return units
 
 
+def _dense_fits_estimate(keywords: Sequence[str], case_sensitive: bool) -> bool:
+    """Upper-bound the dense-table footprint without building the trie.
+
+    States are bounded by total keyword units + 1, classes by distinct
+    folded units + 2; both overestimate (shared prefixes dedup states), so a
+    True here guarantees the dense tables fit ``_DENSE_LIMIT``.
+    """
+    joined = "".join(k for k in keywords if k)
+    units = chartables.to_utf16_units(joined)
+    if not case_sensitive:
+        units = chartables.lower_table()[units]
+    s_bound = len(units) + 2
+    a_bound = len(np.unique(units)) + 2
+    return s_bound * a_bound <= _DENSE_LIMIT
+
+
 def _iter_pairs(keywords: Iterable[str], values: Optional[Iterable]):
     if values is None:
         for kw in keywords:
@@ -170,8 +243,15 @@ def compile_matcher(
         except Exception:
             native_ok = False
         if native_ok:
-            return _compile_native(keywords, kind, case_sensitive, values)
-        if backend == "native":
+            # The native compiler materializes dense S x A tables; route
+            # wide-alphabet dictionaries (testFullNode-style) to the Python
+            # path, which keeps the row-deduplicated representation.
+            kws_list = list(keywords)
+            vals_list = list(values) if values is not None else None
+            if backend == "native" or _dense_fits_estimate(kws_list, case_sensitive):
+                return _compile_native(kws_list, kind, case_sensitive, vals_list)
+            keywords, values = kws_list, vals_list
+        elif backend == "native":
             raise RuntimeError("native compiler backend unavailable")
     elif backend == "native":
         raise ValueError(f"native backend does not support kind {kind!r}")
@@ -356,11 +436,14 @@ def _finalize(
     S = len(trie)
     charmap, A, class_of, class_is_word = _build_alphabet(trie, case_sensitive, word_chars)
     DEAD = S
+    dense = (S + 1) * A <= _DENSE_LIMIT
 
-    trie_next = np.full((S + 1, A), DEAD, dtype=np.int32)
-    for node, kids in enumerate(trie.children):
-        for c, child in kids.items():
-            trie_next[node, class_of[c]] = child
+    # Trie edges in class space, one override dict per node.  Rows are
+    # hash-consed below: nodes sharing edge sets (e.g. all leaves) share
+    # storage, so memory is O(distinct rows x A), not O(S x A).
+    overrides = [
+        {class_of[c]: ch for c, ch in kids.items()} for kids in trie.children
+    ]
 
     own_len = np.asarray(trie.own_len + [0], dtype=np.int32)
     own_val = np.asarray(trie.own_val + [-1], dtype=np.int32)
@@ -379,6 +462,8 @@ def _finalize(
     emit_start = emit_count = emit_len_arr = emit_val_arr = None
     fail_len = fail_off = fail_val = None
 
+    pruned = np.zeros(S + 1, dtype=bool)
+
     if kind in (AC, LONGEST, SHORTEST, WHOLE_WORD):
         # WHOLE_WORD also gets fail links / closure / emit tables: its device
         # engine scans the dictionary as a plain AC automaton and filters
@@ -387,12 +472,20 @@ def _finalize(
         # engine still walks the failureless trie (the reference semantics,
         # WholeWordMatchSet.java:47-132).
         fail = np.zeros(S, dtype=np.int32)
-        dfa_next = np.zeros((S, A), dtype=np.int32)
+
+        # Hash-consed goto-closure rows: a node's row is its fail state's row
+        # with the node's own trie edges written over it, so the cons key is
+        # (fail row id, edge overrides).  Nodes without own edges share their
+        # fail state's row outright — the testFullNode extreme collapses to 2
+        # distinct rows.
+        dfa_rows = np.zeros((min(S, 1024), A), dtype=np.int32)
+        dfa_row_id = np.zeros(S, dtype=np.int32)
         # Root: missing transitions loop to root (the reference root returns
         # itself via defaultTransition, AhoCorasickSet.java:505-507).
-        root_row = trie_next[0]
-        dfa_next[0] = np.where(root_row != DEAD, root_row, 0)
-        pruned = np.zeros(S + 1, dtype=bool)
+        for c, child in overrides[0].items():
+            dfa_rows[0, c] = child
+        n_rows = 1
+        row_of_key: dict = {}
 
         # Level-synchronous BFS: fail links + goto closure + variant passes.
         by_level: dict = {}
@@ -404,7 +497,9 @@ def _finalize(
             if level == 1:
                 fail[nodes] = 0
             else:
-                fail[nodes] = dfa_next[fail[parent[nodes]], parent_cls[nodes]]
+                fail[nodes] = dfa_rows[
+                    dfa_row_id[fail[parent[nodes]]], parent_cls[nodes]
+                ]
             if kind == SHORTEST:
                 # Reproduce ShortestMatchSet.java:95-110: inherit the first
                 # match down the fail chain, then prune any matching node to a
@@ -418,15 +513,29 @@ def _finalize(
                         match_val[node] = match_val[f]
                     if level > 1 and match_len[node] != 0:
                         pruned[node] = True
-                        trie_next[node, :] = DEAD
+                        overrides[node] = {}
                         fail[node] = 0
-            rows = trie_next[nodes]
-            dfa_next[nodes] = np.where(rows != DEAD, rows, dfa_next[fail[nodes]])
+            for node in nodes.tolist():
+                ov = overrides[node]
+                key = (int(dfa_row_id[fail[node]]), tuple(sorted(ov.items())))
+                rid = row_of_key.get(key)
+                if rid is None:
+                    if n_rows == len(dfa_rows):
+                        dfa_rows = np.concatenate(
+                            [dfa_rows, np.zeros_like(dfa_rows)], axis=0
+                        )
+                    row = dfa_rows[key[0]].copy()
+                    if ov:
+                        row[list(ov.keys())] = list(ov.values())
+                    dfa_rows[n_rows] = row
+                    rid = row_of_key[key] = n_rows
+                    n_rows += 1
+                dfa_row_id[node] = rid
 
-        if kind == SHORTEST:
-            # Nodes inside pruned subtrees are unreachable; leave their rows
-            # in place (harmless — nothing transitions into them).
-            pass
+        if dense:
+            dfa_next = dfa_rows[dfa_row_id]
+        else:
+            dfa_next = RowTable(dfa_rows[:n_rows].copy(), dfa_row_id)
 
     if kind in (AC, LONGEST, WHOLE_WORD):
         # Suffix-chain emit lists in exact Java output() order: own match
@@ -500,6 +609,36 @@ def _finalize(
                 fail_len[node] = fail_len[p]
                 fail_off[node] = fail_off[p] + 1
                 fail_val[node] = fail_val[p]
+
+    # Trie goto table (failureless scan + value re-walk), hash-consed the
+    # same way: base row all-DEAD, per-node edge overrides.  Built after the
+    # variant passes so shortest-match pruning (cleared rows) is reflected,
+    # matching the reference's cleared children (ShortestMatchSet.java:104-110).
+    trie_rows = np.full((min(S + 1, 1024), A), DEAD, dtype=np.int32)
+    trie_row_id = np.zeros(S + 1, dtype=np.int32)
+    n_trows = 1  # row 0: the all-DEAD row (leaves and the DEAD state)
+    trow_of_key: dict = {(): 0}
+    for node in range(S):
+        ov = overrides[node]
+        key = tuple(sorted(ov.items()))
+        rid = trow_of_key.get(key)
+        if rid is None:
+            if n_trows == len(trie_rows):
+                trie_rows = np.concatenate(
+                    [trie_rows, np.full_like(trie_rows, DEAD)], axis=0
+                )
+            row = np.full(A, DEAD, dtype=np.int32)
+            row[list(ov.keys())] = list(ov.values())
+            trie_rows[n_trows] = row
+            rid = trow_of_key[key] = n_trows
+            n_trows += 1
+        trie_row_id[node] = rid
+    trie_row_id[S] = 0  # DEAD state: no transitions
+
+    if dense:
+        trie_next = trie_rows[trie_row_id]
+    else:
+        trie_next = RowTable(trie_rows[:n_trows].copy(), trie_row_id)
 
     return CompiledMatcher(
         kind=kind,

@@ -91,16 +91,38 @@ class _SeqScan:
             import jax.numpy as jnp
             from jax import lax
 
-            table = jnp.asarray(self._table)
+            from ahocorasick_tpu.core.compiler import RowTable
 
-            @jax.jit
-            def run(cls_pad, s0):
-                def step(s, c):
-                    s2 = table[s, c]
-                    return s2, s2
+            if isinstance(self._table, RowTable):
+                # Row-compressed table: two-level gather keeps wide-alphabet
+                # dictionaries streamable without dense materialization.
+                rows = jnp.asarray(self._table.rows)
+                row_id = jnp.asarray(self._table.row_id)
 
-                _, states = lax.scan(step, jnp.asarray(s0, dtype=jnp.int32), cls_pad)
-                return states
+                @jax.jit
+                def run(cls_pad, s0):
+                    def step(s, c):
+                        s2 = rows[row_id[s], c]
+                        return s2, s2
+
+                    _, states = lax.scan(
+                        step, jnp.asarray(s0, dtype=jnp.int32), cls_pad
+                    )
+                    return states
+
+            else:
+                table = jnp.asarray(self._table)
+
+                @jax.jit
+                def run(cls_pad, s0):
+                    def step(s, c):
+                        s2 = table[s, c]
+                        return s2, s2
+
+                    _, states = lax.scan(
+                        step, jnp.asarray(s0, dtype=jnp.int32), cls_pad
+                    )
+                    return states
 
             self._jit = run
         n_pad = -(-n // _SCAN_BUCKET) * _SCAN_BUCKET
@@ -173,8 +195,17 @@ class _ShortestCursor(_DfaCursor):
         # Restart-at-root baked into the table: match-state rows equal the
         # root's (the compile-time pruning makes deep match states leaves;
         # level-1 match states are handled by the same substitution).
-        eff = m.dfa_next.copy()
-        eff[m.match_len[: m.num_states] > 0] = m.dfa_next[0]
+        from ahocorasick_tpu.core.compiler import RowTable
+
+        is_match = m.match_len[: m.num_states] > 0
+        if isinstance(m.dfa_next, RowTable):
+            eff = RowTable(
+                m.dfa_next.rows,
+                np.where(is_match, m.dfa_next.row_id[0], m.dfa_next.row_id),
+            )
+        else:
+            eff = m.dfa_next.copy()
+            eff[is_match] = m.dfa_next[0]
         super().__init__(m, eff)
 
     def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:

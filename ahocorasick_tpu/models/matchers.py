@@ -256,6 +256,13 @@ class _Matcher:
             values=values if self.is_map else None,
             word_chars=word_chars,
         )
+        if self.compiled.is_row_compressed and engine == "device":
+            raise ValueError(
+                "dictionary is too wide for dense device tables "
+                f"({self.compiled.num_states} states x "
+                f"{self.compiled.num_classes} classes); use engine='auto' "
+                "or 'gold' (row-compressed host tables)"
+            )
         self.dev = _DeviceTables(self.compiled)
 
     # ------------------------------------------------------------------ #
@@ -265,6 +272,8 @@ class _Matcher:
         return self.compiled.charmap[units]
 
     def _pick_engine(self, n_units: int) -> str:
+        if self.compiled.is_row_compressed:
+            return "gold"  # device engines need dense tables
         if self.engine != "auto":
             return self.engine
         return "device" if n_units >= _AUTO_DEVICE_MIN_UNITS else "gold"
@@ -370,6 +379,11 @@ class _Matcher:
                 f"artifact is kind={compiled.kind!r} "
                 f"{'map' if compiled.values is not None else 'set'}; "
                 f"expected {cls.kind!r} {'map' if cls.is_map else 'set'}"
+            )
+        if compiled.is_row_compressed and engine == "device":
+            raise ValueError(
+                "row-compressed artifact cannot use the device engine; "
+                "use engine='auto' or 'gold'"
             )
         self = cls.__new__(cls)
         self.engine = engine

@@ -1,0 +1,99 @@
+"""Full-alphabet / wide-alphabet dictionaries (reference testFullNode).
+
+The reference's ``SetTest.testFullNode`` (SetTest.java:73-79) builds a
+matcher over every single-char keyword — 64Ki keywords — exercising dense
+full-range RangeNodes.  Here the same dictionary would need two 16 GB dense
+S x A tables; the compiler's hash-consed ``RowTable`` representation keeps
+it at a few MB (the automaton has only a handful of distinct transition
+rows), and matching runs on the gold path.
+"""
+
+import numpy as np
+import pytest
+
+from ahocorasick_tpu import AhoCorasickMap, AhoCorasickSet, LongestMatchSet, load_matcher
+from ahocorasick_tpu.core.compiler import RowTable, compile_matcher
+
+# Every BMP unit except surrogates (Python str cannot carry lone surrogates).
+FULL_KWS = [chr(c) for c in range(0, 0xD800)] + [chr(c) for c in range(0xE000, 0x10000)]
+
+
+def _text(n=3000):
+    return "".join(chr((i * 2654435761) % 53000 + 32) for i in range(n))
+
+
+@pytest.fixture(scope="module")
+def full_set():
+    return AhoCorasickSet(FULL_KWS)
+
+
+def test_full_node_compiles_compact(full_set):
+    c = full_set.compiled
+    assert c.num_states == len(FULL_KWS) + 1
+    assert c.num_classes == len(FULL_KWS) + 1
+    assert c.is_row_compressed
+    assert isinstance(c.dfa_next, RowTable)
+    # Two distinct goto-closure rows: the root's, shared by every depth-1
+    # state (no own edges, fail = root).
+    assert len(c.dfa_next.rows) <= 2
+    assert c.memory_bytes() < 32 << 20  # vs ~32 GB dense
+
+def test_full_node_matches_every_position(full_set):
+    text = _text()
+    res = full_set.match(text)
+    assert res == [(i, i + 1) for i in range(len(text))]
+
+
+def test_full_node_map_values():
+    m = AhoCorasickMap(FULL_KWS, [ord(k) for k in FULL_KWS])
+    text = _text(500)
+    assert m.match(text) == [(i, i + 1, ord(ch)) for i, ch in enumerate(text)]
+
+
+def test_full_node_longest_kind():
+    # Wide alphabet + multi-char keywords through the leftmost-longest kind.
+    kws = FULL_KWS[:40000] + ["ab", "abc"]
+    m = LongestMatchSet(kws)
+    assert m.compiled.is_row_compressed
+    out = m.match("abcab" + chr(1000))
+    assert out == [(0, 3), (3, 5), (5, 6)]
+
+
+def test_full_node_streaming(full_set):
+    text = _text(400)
+    got = []
+    full_set.match_stream(iter([text[:123], text[123:]]),
+                          lambda s, e: got.append((s, e)))
+    assert got == full_set.match(text)
+
+
+def test_full_node_artifact_roundtrip(tmp_path, full_set):
+    p = tmp_path / "full.npz"
+    full_set.save(p)
+    m2 = load_matcher(p)
+    assert m2.compiled.is_row_compressed
+    text = _text(300)
+    assert m2.match(text) == full_set.match(text)
+
+
+def test_full_node_device_engine_rejected():
+    with pytest.raises(ValueError, match="too wide"):
+        AhoCorasickSet(FULL_KWS, engine="device")
+
+
+def test_small_dicts_stay_dense():
+    c = compile_matcher(["he", "she", "hers"], "ac", True)
+    assert not c.is_row_compressed
+    assert isinstance(c.dfa_next, np.ndarray)
+
+
+def test_row_table_indexing_patterns():
+    rows = np.arange(12, dtype=np.int32).reshape(3, 4)
+    t = RowTable(rows, np.array([0, 2, 2, 1], dtype=np.int32))
+    assert t.shape == (4, 4)
+    assert t[1, 3] == rows[2, 3]  # scalar (s, c)
+    np.testing.assert_array_equal(t[3], rows[1])  # row fetch
+    np.testing.assert_array_equal(  # fancy (s_arr, c_arr)
+        t[np.array([0, 1, 3]), np.array([1, 2, 0])], [1, 10, 4]
+    )
+    np.testing.assert_array_equal(t.materialize(), rows[[0, 2, 2, 1]])
