@@ -288,7 +288,20 @@ class _Matcher:
         self.last_stats = ScanStats(units=len(cls), engine=engine, kind=self.kind)
         with timed(self.last_stats):
             if engine == "gold":
-                trip = gold.gold_match(self.compiled, text)
+                if self.compiled.is_row_compressed and self.kind in (
+                    "ac", "longest", "shortest",
+                ):
+                    # Row-compressed dictionaries skip the per-char Python
+                    # gold loop: one vectorized cursor feed (jitted two-level
+                    # gather scan + numpy emit expansion) is exact for any
+                    # text (core/stream.py) and much faster on match-sparse
+                    # inputs (the scan is jit-compiled; only emission work
+                    # remains in Python/numpy).
+                    from ahocorasick_tpu.core.stream import make_cursor
+
+                    trip = make_cursor(self.compiled).feed(cls, is_final=True)
+                else:
+                    trip = gold.gold_match(self.compiled, text)
                 if not trip:
                     z = np.zeros(0, dtype=np.int64)
                     out = z, z, z.copy()

@@ -59,6 +59,20 @@ def test_full_node_longest_kind():
     assert out == [(0, 3), (3, 5), (5, 6)]
 
 
+def test_row_compressed_match_equals_gold_loop():
+    # The facade routes row-compressed matchers through the vectorized
+    # cursor; pin it against the per-char gold loop on overlapping emits.
+    from ahocorasick_tpu.core import gold
+
+    kws = FULL_KWS[:45000] + ["ab", "abc", "bc", chr(40000) + "a"]
+    m = AhoCorasickSet(kws)
+    assert m.compiled.is_row_compressed
+    text = "abcabc" + chr(40000) + "abc" + chr(50000)
+    got = m.match_triples(text)
+    want = gold.gold_match(m.compiled, text)
+    assert list(zip(*[a.tolist() for a in got])) == [tuple(t) for t in want]
+
+
 def test_full_node_streaming(full_set):
     text = _text(400)
     got = []
