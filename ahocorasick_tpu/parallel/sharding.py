@@ -269,6 +269,11 @@ def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
     from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
 
     m = matcher.compiled
+    if m.is_row_compressed:
+        raise ValueError(
+            "row-compressed (wide-alphabet) matchers have no dense device "
+            "tables; use the host path or parallel.corpus.scan_corpus"
+        )
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     which = scan_rowdfa.pick_engine(m)
@@ -372,6 +377,12 @@ class ShardedScanner:
     """
 
     def __init__(self, matcher, mesh: Optional[Mesh] = None):
+        if matcher.compiled.is_row_compressed:
+            raise ValueError(
+                "row-compressed (wide-alphabet) matchers have no dense "
+                "device tables; scan on the host path (matcher.match) or "
+                "shard the corpus with parallel.corpus.scan_corpus"
+            )
         self.matcher = matcher
         self.mesh = mesh if mesh is not None else data_mesh()
 

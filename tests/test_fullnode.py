@@ -111,3 +111,12 @@ def test_row_table_indexing_patterns():
         t[np.array([0, 1, 3]), np.array([1, 2, 0])], [1, 10, 4]
     )
     np.testing.assert_array_equal(t.materialize(), rows[[0, 2, 2, 1]])
+
+
+def test_sharded_scanner_rejects_row_compressed(full_set):
+    import pytest as _pytest
+
+    from ahocorasick_tpu.parallel.sharding import ShardedScanner
+
+    with _pytest.raises(ValueError, match="row-compressed"):
+        ShardedScanner(full_set)
