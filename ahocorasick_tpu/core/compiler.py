@@ -66,8 +66,8 @@ class RowTable:
     dictionaries stay linear in *distinct* rows instead of quadratic in
     states x classes.  Supports the host-side access patterns of the gold
     engines, streaming cursors and value re-walk (scalar and fancy
-    ``[s, c]`` indexing, ``[s]`` row fetch); device engines require dense
-    tables and fall back to the gold path (models/matchers.py).
+    ``[s, c]`` indexing, ``[s]`` row fetch); device engines scan the packed
+    QUOTIENT DFA over the distinct rows (``ops/scan_batched.build_packed``).
     """
 
     __slots__ = ("rows", "row_id")
@@ -148,7 +148,9 @@ class CompiledMatcher:
     def is_row_compressed(self) -> bool:
         """True when the transition tables kept the row-deduplicated form
         (wide-alphabet dictionaries over the dense budget); device engines
-        need dense tables, so matching runs on the gold path."""
+        scan the packed quotient DFA over the distinct rows where the kind
+        allows it (see ``models.matchers._device_capable``), else the
+        vectorized host path."""
         return isinstance(self.trie_next, RowTable)
 
 

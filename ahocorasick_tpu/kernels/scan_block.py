@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 
 
 from ahocorasick_tpu.core.compiler import CompiledMatcher
-from ahocorasick_tpu.ops.scan_batched import PAD_CLASS, build_packed
+from ahocorasick_tpu.ops.scan_batched import PAD_CLASS, build_packed, effective_rows
 
 # Flat-table entry budget.  Measured per-char cost is ~0.19ns + 1.79ps*R
 # (R = entries/128): the select chain beats stride-2 row gathers up to
@@ -63,7 +63,7 @@ class BlockDfa(NamedTuple):
 def fits(m: CompiledMatcher, max_entries: int | None = None) -> bool:
     if max_entries is None:
         max_entries = MAX_ENTRIES
-    S, A = m.num_states, m.num_classes
+    S, A = effective_rows(m), m.num_classes
     d = max(m.max_depth, 1)
     state_bits = max(int(S - 1).bit_length(), 1)
     return state_bits + d <= 32 and S * A <= max_entries
@@ -72,7 +72,7 @@ def fits(m: CompiledMatcher, max_entries: int | None = None) -> bool:
 def build_block(m: CompiledMatcher) -> BlockDfa:
     pd = build_packed(m)
     assert pd.emit_mask is None, "block engine requires the packed-inline layout"
-    S, A = m.num_states, m.num_classes
+    S, A = pd.table.shape  # quotient rows for row-compressed matchers
     flat = pd.table.reshape(S * A)
     R = -(-(S * A) // 128)
     table = np.zeros(R * 128, dtype=np.uint32)

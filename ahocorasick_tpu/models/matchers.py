@@ -46,6 +46,24 @@ from ahocorasick_tpu.resolve.queue import resolve_longest
 from ahocorasick_tpu.resolve.wholeword import follow_chain, word_starts
 from ahocorasick_tpu.utils import chartables
 
+def _device_capable(compiled: CompiledMatcher, kind: str) -> bool:
+    """Does this compiled matcher have a device scan path?
+
+    Dense matchers: always (packed or split layout).  Row-compressed
+    (wide-alphabet) matchers: only the kinds whose device path is the packed
+    batched/row/block scan over the quotient DFA (``ops/scan_batched``);
+    SHORTEST's single-chip device path and WHOLE_WORD_LONGEST's trie walks
+    need dense per-state tables, so those stay on the (vectorized) host path.
+    """
+    if not compiled.is_row_compressed:
+        return True
+    from ahocorasick_tpu.ops import scan_batched
+
+    return kind in (AC, LONGEST, WHOLE_WORD) and scan_batched.quotient_packable(
+        compiled
+    )
+
+
 _AUTO_DEVICE_MIN_UNITS = 1 << 14
 # Lane counts are rounded up to this bucket so repeated calls with different
 # text lengths reuse compiled executables (padded lanes die without emitting).
@@ -210,6 +228,27 @@ class _DeviceTables:
         return cache["block_dfa"]
 
     @property
+    def rowdfa_shortest(self):
+        """Two-level shortest transition ``(row_id_eff, rows)`` for
+        row-compressed matchers: ``rows[row_id_eff[s], c]`` is the
+        restart-baked total DFA step (match states take the root's row —
+        cf. ``dfa_next_shortest``) without materializing dense S x A."""
+        cache = self.__dict__["_cache"]
+        if "rowdfa_shortest" not in cache:
+            import jax.numpy as jnp
+
+            m = self._m
+            rt = m.dfa_next
+            row_id_eff = np.where(
+                m.match_len[: m.num_states] > 0, 0, rt.row_id
+            ).astype(np.int32)
+            cache["rowdfa_shortest"] = (
+                jnp.asarray(row_id_eff),
+                jnp.asarray(rt.rows),
+            )
+        return cache["rowdfa_shortest"]
+
+    @property
     def packed_dfa(self):
         """Packed goto-closure DFA for the batched-halo v4 engine (lazy)."""
         cache = self.__dict__["_cache"]
@@ -220,7 +259,8 @@ class _DeviceTables:
 
             pd = scan_batched.build_packed(self._m)
             ap = self._ap
-            table = np.zeros((self._m.num_states, ap), dtype=np.uint32)
+            # Quotient rows for row-compressed matchers (scan_batched doc).
+            table = np.zeros((pd.table.shape[0], ap), dtype=np.uint32)
             table[:, : self._m.num_classes] = pd.table
             # Padded class columns behave like class 0 (non-keyword char).
             table[:, self._m.num_classes :] = pd.table[:, :1]
@@ -256,10 +296,10 @@ class _Matcher:
             values=values if self.is_map else None,
             word_chars=word_chars,
         )
-        if self.compiled.is_row_compressed and engine == "device":
+        if engine == "device" and not _device_capable(self.compiled, self.kind):
             raise ValueError(
-                "dictionary is too wide for dense device tables "
-                f"({self.compiled.num_states} states x "
+                "dictionary is too wide for this kind's device path "
+                f"(kind {self.kind!r}, {self.compiled.num_states} states x "
                 f"{self.compiled.num_classes} classes); use engine='auto' "
                 "or 'gold' (row-compressed host tables)"
             )
@@ -272,8 +312,10 @@ class _Matcher:
         return self.compiled.charmap[units]
 
     def _pick_engine(self, n_units: int) -> str:
-        if self.compiled.is_row_compressed:
-            return "gold"  # device engines need dense tables
+        if self.compiled.is_row_compressed and not _device_capable(
+            self.compiled, self.kind
+        ):
+            return "gold"  # no quotient device layout for this kind
         if self.engine != "auto":
             return self.engine
         return "device" if n_units >= _AUTO_DEVICE_MIN_UNITS else "gold"
@@ -393,9 +435,9 @@ class _Matcher:
                 f"{'map' if compiled.values is not None else 'set'}; "
                 f"expected {cls.kind!r} {'map' if cls.is_map else 'set'}"
             )
-        if compiled.is_row_compressed and engine == "device":
+        if engine == "device" and not _device_capable(compiled, cls.kind):
             raise ValueError(
-                "row-compressed artifact cannot use the device engine; "
+                "row-compressed artifact has no device path for this kind; "
                 "use engine='auto' or 'gold'"
             )
         self = cls.__new__(cls)
@@ -464,8 +506,7 @@ class _PfacEngine(_Matcher):
 
         m = self.compiled
         d = max(m.max_depth, 1)
-        state_bits = max(int(m.num_states - 1).bit_length(), 1)
-        if state_bits + d > 32:
+        if not scan_batched.inline_packable(m):
             # Packed layout overflows (huge dictionary with long keywords):
             # split path — one next-state gather + P emit gathers per char.
             dfa_flat, emit_tab, halo = self.dev.split_dfa

@@ -42,29 +42,53 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ahocorasick_tpu.core.compiler import CompiledMatcher
+from ahocorasick_tpu.core.compiler import CompiledMatcher, RowTable
 
 PAD_CLASS = 0
 
 
 class PackedDfa(NamedTuple):
-    table: np.ndarray  # uint32[S, A]: next | emit_mask << state_bits (packed mode)
+    table: np.ndarray  # uint32[S_eff, A]: next | emit_mask << state_bits (packed mode)
     emit_mask: Optional[np.ndarray]  # uint32[S, P] emit planes when split, else None
     state_bits: int  # 32 when not packed inline
     halo: int  # d - 1
 
 
-def build_packed(m: CompiledMatcher) -> PackedDfa:
+def effective_rows(m: CompiledMatcher) -> int:
+    """Scan-state count of the packed device automaton.
+
+    Row-compressed matchers scan the *quotient* DFA over distinct
+    goto-closure rows (see ``build_packed``), so their device state count is
+    the number of distinct rows, not trie states."""
+    if m.is_row_compressed and isinstance(m.dfa_next, RowTable):
+        return m.dfa_next.rows.shape[0]
+    return m.num_states
+
+
+def inline_packable(m: CompiledMatcher) -> bool:
+    """Packed-inline layout applies: scan-state bits + emit bits fit 32."""
+    d = max(m.max_depth, 1)
+    s_eff = effective_rows(m)
+    return max(int(s_eff - 1).bit_length(), 1) + d <= 32
+
+
+def quotient_packable(m: CompiledMatcher) -> bool:
+    """A row-compressed matcher has a device layout: its quotient DFA packs
+    inline (wide-alphabet dictionaries have few distinct rows, so this holds
+    except for pathological row-count x keyword-length combinations)."""
+    return (
+        m.is_row_compressed
+        and isinstance(m.dfa_next, RowTable)
+        and inline_packable(m)
+    )
+
+
+def _state_emit_planes(m: CompiledMatcher) -> np.ndarray:
+    """Per-state emit planes uint32[S, P]: bit L-1 (plane (L-1)//32) set iff
+    a keyword of length L ends at this state (own + suffix chain,
+    ``AhoCorasickSet.java:522-535``) — vectorized for million-state dicts."""
     S = m.num_states
     d = max(m.max_depth, 1)
-    # Halo is d, not d-1: the deepest state (a complete longest keyword) has
-    # depth d, so convergence needs d characters of history.
-    halo = d
-    state_bits = max(int(S - 1).bit_length(), 1)
-
-    # Per-state emit planes: bit L-1 (plane (L-1)//32) set iff a keyword of
-    # length L ends at this state (own + suffix chain) — vectorized for
-    # million-state dicts.
     P = (d + 31) // 32
     planes = np.zeros((S, P), dtype=np.uint32)
     if m.emit_count is not None:
@@ -82,6 +106,45 @@ def build_packed(m: CompiledMatcher) -> PackedDfa:
             np.bitwise_or.at(
                 planes, (st_rep, bit >> 5), np.uint32(1) << (bit & 31).astype(np.uint32)
             )
+    return planes
+
+
+def build_packed(m: CompiledMatcher) -> PackedDfa:
+    """Packed scan table.  Dense matchers: ``next | emit << state_bits`` over
+    trie states.  Row-compressed matchers: the same layout over the QUOTIENT
+    DFA whose states are the distinct goto-closure rows — the row-dedup map
+    ``row_id`` is a DFA homomorphism (states sharing a row share all
+    transition targets), and the emit mask of the concrete target
+    ``rows[r, c]`` is a pure function of ``(r, c)``, so the quotient scan
+    emits exactly the sequential automaton's END-indexed masks.  This is what
+    lets testFullNode-scale dictionaries (64Ki single-char keywords,
+    ``SetTest.java:73-79``) scan on device from a few-KB table."""
+    d = max(m.max_depth, 1)
+    # Halo is d, not d-1: the deepest state (a complete longest keyword) has
+    # depth d, so convergence needs d characters of history.
+    halo = d
+    planes = _state_emit_planes(m)
+
+    if m.is_row_compressed:
+        rt = m.dfa_next
+        if not isinstance(rt, RowTable):
+            raise ValueError(f"kind {m.kind!r} has no goto-closure table")
+        R = rt.rows.shape[0]
+        rid_bits = max(int(R - 1).bit_length(), 1)
+        if rid_bits + d > 32:
+            raise ValueError(
+                "row-compressed dictionary has no packed device layout "
+                f"({R} rows, max depth {d})"
+            )
+        # Compiler invariant: the root's row is row 0 (engines start at 0).
+        assert int(rt.row_id[0]) == 0
+        packed = rt.row_id[rt.rows].astype(np.uint32) | (
+            planes[:, 0][rt.rows] << np.uint32(rid_bits)
+        )
+        return PackedDfa(packed, None, rid_bits, halo)
+
+    S = m.num_states
+    state_bits = max(int(S - 1).bit_length(), 1)
     if state_bits + d <= 32:
         packed = m.dfa_next.astype(np.uint32) | (
             planes[:, 0][m.dfa_next] << np.uint32(state_bits)

@@ -46,12 +46,17 @@ import jax.numpy as jnp
 from jax import lax
 
 from ahocorasick_tpu.core.compiler import CompiledMatcher
-from ahocorasick_tpu.ops.scan_batched import PAD_CLASS, build_packed
+from ahocorasick_tpu.ops.scan_batched import PAD_CLASS, build_packed, effective_rows
 
 # VMEM on v5e is ~16 MB/core; leave headroom for window blocks and outputs.
 # Tables over the budget fall off the fast row-gather cliff (see module doc).
 _MAX_BYTES = 6 << 20       # stride-2 table budget
 _MAX_BYTES_1 = 10 << 20    # stride-1 table budget
+# The fused column select does A_pad one-hot ops per character per lane; the
+# measured cost model holds for narrow alphabets (the dense-matcher norm).
+# Wide-alphabet quotient tables (few rows x tens of thousands of classes)
+# must not ride it — the select would dwarf the gather.
+_MAX_SELECT_CLASSES = 512
 
 
 class RowDfa(NamedTuple):
@@ -72,29 +77,37 @@ def fits(m: CompiledMatcher, max_bytes: int | None = None) -> bool:
     """Stride-2 row table fits the VMEM budget."""
     if max_bytes is None:
         max_bytes = _MAX_BYTES
-    S, A = m.num_states, m.num_classes
+    S, A = effective_rows(m), m.num_classes
     d = max(m.max_depth, 1)
     state_bits = max(int(S - 1).bit_length(), 1)
-    return state_bits + d <= 32 and S * A * (A + 1) * 4 <= max_bytes
+    return (
+        state_bits + d <= 32
+        and A <= _MAX_SELECT_CLASSES
+        and S * A * (A + 1) * 4 <= max_bytes
+    )
 
 
 def fits1(m: CompiledMatcher, max_bytes: int | None = None) -> bool:
     """Stride-1 row table fits the VMEM budget."""
     if max_bytes is None:
         max_bytes = _MAX_BYTES_1
-    S, A = m.num_states, m.num_classes
+    S, A = effective_rows(m), m.num_classes
     d = max(m.max_depth, 1)
     state_bits = max(int(S - 1).bit_length(), 1)
     Ap = max(8, 1 << (A - 1).bit_length())
     Sp = -(-(S) // 8) * 8
-    return state_bits + d <= 32 and Sp * Ap * 4 <= max_bytes
+    return (
+        state_bits + d <= 32
+        and Ap <= _MAX_SELECT_CLASSES
+        and Sp * Ap * 4 <= max_bytes
+    )
 
 
 def build_rowdfa1(m: CompiledMatcher) -> RowDfa1:
     """The v4 packed table with minimal padding (rows to x8, cols to pow2)."""
     pd = build_packed(m)
     assert pd.emit_mask is None, "row engine requires the packed-inline layout"
-    S, A = m.num_states, m.num_classes
+    S, A = pd.table.shape  # quotient rows for row-compressed matchers
     Ap = max(8, 1 << (A - 1).bit_length())
     Sp = -(-S // 8) * 8
     table = np.zeros((Sp, Ap), dtype=np.uint32)
@@ -105,7 +118,7 @@ def build_rowdfa1(m: CompiledMatcher) -> RowDfa1:
 def build_rowdfa(m: CompiledMatcher) -> RowDfa:
     pd = build_packed(m)
     assert pd.emit_mask is None, "row engine requires the packed-inline layout"
-    S, A = m.num_states, m.num_classes
+    S, A = pd.table.shape  # quotient rows for row-compressed matchers
     sb = pd.state_bits
     smask = np.uint32((1 << sb) - 1)
     p1 = pd.table  # uint32[S, A] = state1 | emit(state1) << sb
@@ -151,7 +164,7 @@ def pick_engine(m: CompiledMatcher) -> str:
     if fits(m):
         cands.append(("rowdfa2", _NS_ROWDFA2))
     if scan_block.fits(m):
-        R = -(-(m.num_states * m.num_classes) // 128)
+        R = -(-(effective_rows(m) * m.num_classes) // 128)
         cands.append(("block", _NS_BLOCK_BASE + _NS_BLOCK_PER_R * R))
     return min(cands, key=lambda kv: kv[1])[0]
 

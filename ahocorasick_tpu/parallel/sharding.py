@@ -252,6 +252,55 @@ def sharded_arrival_states(
     return np.asarray(out).reshape(-1)[:n]
 
 
+def sharded_arrival_states_rowtable(
+    row_id: jax.Array,  # int32[S] state -> row class (restart baked in)
+    rows: jax.Array,  # int32[R, A] distinct transition rows
+    cls: np.ndarray,
+    mesh: Mesh,
+) -> np.ndarray:
+    """``sharded_arrival_states`` for row-compressed matchers: the step is
+    the two-level gather ``rows[row_id[s], c]`` so the dense S x A table is
+    never materialized (wide-alphabet dictionaries, testFullNode scale)."""
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    n = len(cls)
+    chunk = -(-max(n, 1) // n_dev)
+    cls_p = np.pad(cls, (0, chunk * n_dev - n), constant_values=0)
+    S = row_id.shape[0]
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None), P(None, None), P(axis)),
+        out_specs=P(axis),
+    )
+    def run(rid, rws, cls_local):
+        def step_sigma(v, c):
+            return rws[rid[v], c], None
+
+        v0 = lax.pcast(jnp.arange(S, dtype=jnp.int32), (axis,), to="varying")
+        sigma, _ = lax.scan(step_sigma, v0, cls_local[0])
+        sigmas = lax.all_gather(sigma, axis)
+        idx = lax.axis_index(axis)
+
+        def fold(j, s):
+            return jnp.where(j < idx, sigmas[j, s], s)
+
+        entry = lax.fori_loop(
+            0, n_dev, fold, lax.pcast(jnp.int32(0), (axis,), to="varying")
+        )
+
+        def step(s, c):
+            s2 = rws[rid[s], c]
+            return s2, s2
+
+        _, states = lax.scan(step, entry, cls_local[0])
+        return states[None]
+
+    out = run(row_id, rows, jnp.asarray(cls_p.astype(np.int32)).reshape(n_dev, chunk))
+    return np.asarray(out).reshape(-1)[:n]
+
+
 def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
     """Best-engine data-parallel match counter over ``mesh``.
 
@@ -269,10 +318,10 @@ def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
     from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
 
     m = matcher.compiled
-    if m.is_row_compressed:
+    if m.is_row_compressed and not scan_batched.quotient_packable(m):
         raise ValueError(
-            "row-compressed (wide-alphabet) matchers have no dense device "
-            "tables; use the host path or parallel.corpus.scan_corpus"
+            "row-compressed (wide-alphabet) matcher has no packed quotient "
+            "device layout; use the host path or parallel.corpus.scan_corpus"
         )
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
@@ -309,8 +358,7 @@ def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
                 table, windows, halo, rd.state_bits, rd.num_classes)
     else:
         d = max(m.max_depth, 1)
-        state_bits = max(int(m.num_states - 1).bit_length(), 1)
-        if state_bits + d > 32:
+        if not scan_batched.inline_packable(m):
             dfa_flat, emit_tab, halo = matcher.dev.split_dfa
             table = dfa_flat
             planes = (d + 31) // 32
@@ -377,11 +425,23 @@ class ShardedScanner:
     """
 
     def __init__(self, matcher, mesh: Optional[Mesh] = None):
-        if matcher.compiled.is_row_compressed:
+        from ahocorasick_tpu.ops import scan_batched
+
+        m = matcher.compiled
+        if m.kind == "whole_word_longest":
+            raise NotImplementedError(
+                "whole_word_longest has no sharded device path yet; shard "
+                "the corpus with parallel.corpus.scan_corpus"
+            )
+        if m.is_row_compressed and not (
+            m.kind in ("ac", "longest", "shortest", "whole_word")
+            and (m.kind == "shortest" or scan_batched.quotient_packable(m))
+        ):
             raise ValueError(
-                "row-compressed (wide-alphabet) matchers have no dense "
-                "device tables; scan on the host path (matcher.match) or "
-                "shard the corpus with parallel.corpus.scan_corpus"
+                "row-compressed (wide-alphabet) matcher has no sharded "
+                "device path for this kind; scan on the host path "
+                "(matcher.match) or shard the corpus with "
+                "parallel.corpus.scan_corpus"
             )
         self.matcher = matcher
         self.mesh = mesh if mesh is not None else data_mesh()
@@ -389,16 +449,16 @@ class ShardedScanner:
     def count(self, text: str) -> int:
         cls = self.matcher._classes(text)
         m = self.matcher.compiled
-        if m.kind in ("ac", "longest"):
+        if m.kind == "ac":
             pd = self.matcher.dev.packed_dfa
             if pd.emit_mask is None:
-                total = sharded_batched_count(
+                return sharded_batched_count(
                     pd.table, cls, pd.halo, pd.state_bits, self.mesh
                 )
-                if m.kind == "longest":
-                    # counting = resolved matches for longest; fall through
-                    return len(self.match_triples(text)[0])
-                return total
+        if m.kind in ("longest", "shortest", "whole_word"):
+            # Counting needs the resolved/filtered match set for these kinds
+            # (non-overlap resolution and boundary filtering change counts).
+            return len(self.match_triples(text)[0])
         return sharded_count(
             self.matcher.compiled, self.matcher.dev.trie_next, self.matcher.dev.is_match,
             cls, self.mesh,
@@ -410,9 +470,15 @@ class ShardedScanner:
         if m.kind == "shortest":
             # Sequential-exact path: sigma-stitched arrival states on the
             # restart-baked total DFA, matches extracted host-side.
-            states = sharded_arrival_states(
-                self.matcher.dev.dfa_next_shortest, cls, self.mesh
-            )
+            if m.is_row_compressed:
+                rid_eff, rows = self.matcher.dev.rowdfa_shortest
+                states = sharded_arrival_states_rowtable(
+                    rid_eff, rows, cls, self.mesh
+                )
+            else:
+                states = sharded_arrival_states(
+                    self.matcher.dev.dfa_next_shortest, cls, self.mesh
+                )
             return emit.states_to_shortest_matches(m, states)
         d = max(m.max_depth, 1)
         planes = (d + 31) // 32
@@ -434,4 +500,16 @@ class ShardedScanner:
             from ahocorasick_tpu.resolve.queue import resolve_longest
 
             return resolve_longest(*triples)
+        if m.kind == "whole_word":
+            # Vectorized boundary filter over AC candidates — the same
+            # equivalence the single-chip device path uses (pure-word-char
+            # keywords match whole words iff flanked by non-word chars or
+            # text edges; WholeWordMatchSet.java:47-132).
+            starts, ends, vals = triples
+            is_word = np.asarray(m.class_is_word)[cls]
+            n = len(cls)
+            left_ok = (starts == 0) | ~is_word[np.maximum(starts - 1, 0)]
+            right_ok = (ends == n) | ~is_word[np.minimum(ends, n - 1)]
+            keep = left_ok & right_ok
+            return starts[keep], ends[keep], vals[keep]
         return triples

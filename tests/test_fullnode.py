@@ -5,13 +5,20 @@ matcher over every single-char keyword — 64Ki keywords — exercising dense
 full-range RangeNodes.  Here the same dictionary would need two 16 GB dense
 S x A tables; the compiler's hash-consed ``RowTable`` representation keeps
 it at a few MB (the automaton has only a handful of distinct transition
-rows), and matching runs on the gold path.
+rows), and device matching runs on the packed QUOTIENT DFA over those rows
+(``ops/scan_batched.build_packed``).
 """
 
 import numpy as np
 import pytest
 
-from ahocorasick_tpu import AhoCorasickMap, AhoCorasickSet, LongestMatchSet, load_matcher
+from ahocorasick_tpu import (
+    AhoCorasickMap,
+    AhoCorasickSet,
+    LongestMatchSet,
+    ShortestMatchSet,
+    load_matcher,
+)
 from ahocorasick_tpu.core.compiler import RowTable, compile_matcher
 
 # Every BMP unit except surrogates (Python str cannot carry lone surrogates).
@@ -90,9 +97,67 @@ def test_full_node_artifact_roundtrip(tmp_path, full_set):
     assert m2.match(text) == full_set.match(text)
 
 
-def test_full_node_device_engine_rejected():
-    with pytest.raises(ValueError, match="too wide"):
-        AhoCorasickSet(FULL_KWS, engine="device")
+def test_full_node_quotient_packed_layout(full_set):
+    # The 64Ki-single-char automaton quotients to <= 2 scan states; the
+    # packed device table is a couple of rows, not 16 GB.
+    from ahocorasick_tpu.ops import scan_batched
+
+    m = full_set.compiled
+    assert scan_batched.quotient_packable(m)
+    pd = scan_batched.build_packed(m)
+    assert pd.emit_mask is None
+    assert pd.table.shape[0] <= 2
+    assert pd.table.nbytes < 1 << 20
+
+
+def test_full_node_device_engine(full_set):
+    # Device engine on the quotient table (batched element-gather engine:
+    # the Pallas block kernel would also apply but is slow to build in CPU
+    # interpret mode at this R).
+    m = AhoCorasickSet(FULL_KWS, engine="device")
+    m.device_engine = "batched"
+    text = _text(1200)
+    assert m.match(text) == full_set.match(text)
+    assert m.last_stats.engine == "device"
+
+
+def test_full_node_device_engine_map_values():
+    m = AhoCorasickMap(FULL_KWS, [ord(k) for k in FULL_KWS], engine="device")
+    m.device_engine = "batched"
+    text = _text(400)
+    assert m.match(text) == [(i, i + 1, ord(ch)) for i, ch in enumerate(text)]
+
+
+def test_row_compressed_shortest_device_engine_rejected():
+    # SHORTEST's single-chip device path needs dense per-state tables; the
+    # row-compressed form stays on the (vectorized) host path.
+    with pytest.raises(ValueError, match="device path"):
+        ShortestMatchSet(FULL_KWS, engine="device")
+
+
+def test_quotient_device_fuzz_vs_gold(monkeypatch):
+    # Force row compression on small dictionaries and pin every quotient
+    # device engine pick against the gold loop.
+    from ahocorasick_tpu.core import compiler as comp
+
+    monkeypatch.setattr(comp, "_DENSE_LIMIT", 4)
+    rng = np.random.default_rng(20260819)
+    alpha = list("abcde")
+    for trial in range(6):
+        kws = list(
+            {
+                "".join(rng.choice(alpha, size=int(rng.integers(1, 6))))
+                for _ in range(int(rng.integers(3, 30)))
+            }
+        )
+        text = "".join(rng.choice(alpha + ["x", " "], size=300))
+        dev = AhoCorasickSet(kws, engine="device")
+        assert dev.compiled.is_row_compressed
+        gold_m = AhoCorasickSet(kws, engine="gold")
+        assert dev.match(text) == gold_m.match(text), trial
+        ldev = LongestMatchSet(kws, engine="device")
+        lgold = LongestMatchSet(kws, engine="gold")
+        assert ldev.match(text) == lgold.match(text), trial
 
 
 def test_small_dicts_stay_dense():
@@ -113,10 +178,73 @@ def test_row_table_indexing_patterns():
     np.testing.assert_array_equal(t.materialize(), rows[[0, 2, 2, 1]])
 
 
-def test_sharded_scanner_rejects_row_compressed(full_set):
-    import pytest as _pytest
+def test_sharded_scanner_full_node(full_set):
+    # Sharded device path over the quotient table: 8-device CPU mesh.
+    from ahocorasick_tpu.parallel.sharding import ShardedScanner, data_mesh
 
+    sc = ShardedScanner(full_set, data_mesh())
+    text = _text(900)
+    got = list(zip(*[a.tolist() for a in sc.match_triples(text)]))
+    assert [(s, e) for s, e, _ in got] == full_set.match(text)
+    assert sc.count(text) == len(text)
+
+
+def test_sharded_shortest_row_compressed(monkeypatch):
+    # Sigma-stitched shortest arrival states via the two-level row-table
+    # step (dense S x A never materialized).
+    from ahocorasick_tpu.core import compiler as comp
+    from ahocorasick_tpu.parallel.sharding import ShardedScanner, data_mesh
+
+    monkeypatch.setattr(comp, "_DENSE_LIMIT", 4)
+    rng = np.random.default_rng(42)
+    kws = ["ab", "bca", "a", "cc", "ded"]
+    text = "".join(rng.choice(list("abcde "), size=2000))
+    m = ShortestMatchSet(kws)
+    assert m.compiled.is_row_compressed
+    sc = ShardedScanner(m, data_mesh())
+    want = ShortestMatchSet(kws, engine="gold").match(text)
+    got = list(zip(*[a.tolist() for a in sc.match_triples(text)]))
+    assert [(s, e) for s, e, _ in got] == want
+    assert sc.count(text) == len(want)
+
+
+def test_sharded_counter_row_compressed(monkeypatch):
+    from ahocorasick_tpu.core import compiler as comp
+    from ahocorasick_tpu.ops import scan_rowdfa
+    from ahocorasick_tpu.parallel import sharding
+
+    monkeypatch.setattr(comp, "_DENSE_LIMIT", 4)
+    # Pin the engine: the natural pick for tiny quotients is the Pallas
+    # block kernel, which is slow to build in CPU interpret mode.
+    monkeypatch.setattr(scan_rowdfa, "pick_engine", lambda m: "batched")
+    rng = np.random.default_rng(43)
+    kws = ["ab", "bca", "a", "cc"]
+    text = "".join(rng.choice(list("abcde "), size=4000))
+    m = AhoCorasickSet(kws)
+    assert m.compiled.is_row_compressed
+    prepare, count, engine = sharding.make_sharded_counter(m, sharding.data_mesh())
+    assert engine == "batched"
+    want = len(AhoCorasickSet(kws, engine="gold").match(text))
+    assert int(count(prepare(m._classes(text)))) == want
+
+
+def test_sharded_whole_word_boundary_filter():
+    from ahocorasick_tpu import WholeWordMatchSet
+    from ahocorasick_tpu.parallel.sharding import ShardedScanner, data_mesh
+
+    kws = ["ab", "cd", "abab"]
+    m = WholeWordMatchSet(kws)
+    sc = ShardedScanner(m, data_mesh())
+    text = "ab cd abab xab ab9 cd"
+    want = WholeWordMatchSet(kws, engine="gold").match(text)
+    got = list(zip(*[a.tolist() for a in sc.match_triples(text)]))
+    assert [(s, e) for s, e, _ in got] == want
+    assert sc.count(text) == len(want)
+
+
+def test_sharded_whole_word_longest_rejected():
+    from ahocorasick_tpu import WholeWordLongestMatchSet
     from ahocorasick_tpu.parallel.sharding import ShardedScanner
 
-    with _pytest.raises(ValueError, match="row-compressed"):
-        ShardedScanner(full_set)
+    with pytest.raises(NotImplementedError, match="whole_word_longest"):
+        ShardedScanner(WholeWordLongestMatchSet(["ab cd"]))
