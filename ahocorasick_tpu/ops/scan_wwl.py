@@ -59,11 +59,10 @@ def wwl_walks(
         s_last = jnp.where(newly, states, s_last)
         return nxt, k_die, s_last
 
-    init = (
-        jnp.zeros((n,), dtype=jnp.int32),
-        jnp.full((n,), -1, dtype=jnp.int32),
-        jnp.zeros((n,), dtype=jnp.int32),
-    )
+    # Derive carries from the input so their sharding varyingness matches
+    # inside shard_map bodies (plain zeros are 'replicated' there).
+    z = (lax.dynamic_slice(cls_padded, (0,), (n,)) * 0).astype(jnp.int32)
+    init = (z, z - 1, z)
     _, k_die, s_last = lax.fori_loop(0, max_depth + 1, body, init)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)

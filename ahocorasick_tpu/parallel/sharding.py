@@ -115,6 +115,57 @@ def sharded_bitplanes(
     return np.asarray(run(trie_next, is_match, jnp.asarray(cls_p.astype(np.int32))))
 
 
+def sharded_wwl_walks(
+    matcher,
+    cls: np.ndarray,
+    mesh: Mesh,
+):
+    """Per-position whole-word-longest walk outcomes across the mesh.
+
+    Every walk reads at most ``max_depth + 1`` classes past its own lane
+    (``ops/scan_wwl.wwl_walks``), so the only cross-device dependency is a
+    right halo exchanged over ICI; the last shard's halo arrives as zeros —
+    exactly the non-word pad class the single-chip path uses.  Outcomes are
+    returned in global coordinates; the sequential restart chain is followed
+    host-side (``resolve/wholeword.follow_chain``), mirroring the reference
+    loop ``WholeWordLongestMatchSet.java:47-178``.
+    """
+    from ahocorasick_tpu.ops import scan_wwl
+
+    m = matcher.compiled
+    dev = matcher.dev
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    d = max(-(-max(m.max_depth, 1) // 4) * 4, 4)  # bucketed like single-chip
+    n = len(cls)
+    chunk = max(-(-max(n, 1) // n_dev), d + 1)
+    cls_p = np.pad(cls, (0, chunk * n_dev - n), constant_values=0)
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(None, None), P(None), P(None), P(None), P(None), P(None),
+            P(None), P(axis),
+        ),
+        out_specs=(P(axis),) * 5,
+    )
+    def run(trie, ol, ov, fl, fo, fv, ciw, cls_local):
+        halo = _right_halo(cls_local, d + 1, axis, n_dev)
+        local = jnp.concatenate([cls_local, halo])
+        die, has, ms, me, mv = scan_wwl.wwl_walks(
+            trie, ol, ov, fl, fo, fv, ciw, local, d
+        )
+        off = lax.axis_index(axis) * cls_local.shape[0]
+        return die + off, has, ms + off, me + off, mv
+
+    outs = run(
+        dev.trie_next, dev.own_len, dev.own_val, dev.fail_len, dev.fail_off,
+        dev.fail_val, dev.class_is_word, jnp.asarray(cls_p.astype(np.int32)),
+    )
+    return tuple(np.asarray(o)[:n] for o in outs)
+
+
 def _left_halo(cls_local: jax.Array, halo: int, axis: str, n_dev: int) -> jax.Array:
     """Last ``halo`` classes of the left neighbor (zeros before the start)."""
     src = lax.slice_in_dim(cls_local, cls_local.shape[0] - halo, cls_local.shape[0])
@@ -428,11 +479,6 @@ class ShardedScanner:
         from ahocorasick_tpu.ops import scan_batched
 
         m = matcher.compiled
-        if m.kind == "whole_word_longest":
-            raise NotImplementedError(
-                "whole_word_longest has no sharded device path yet; shard "
-                "the corpus with parallel.corpus.scan_corpus"
-            )
         if m.is_row_compressed and not (
             m.kind in ("ac", "longest", "shortest", "whole_word")
             and (m.kind == "shortest" or scan_batched.quotient_packable(m))
@@ -455,7 +501,7 @@ class ShardedScanner:
                 return sharded_batched_count(
                     pd.table, cls, pd.halo, pd.state_bits, self.mesh
                 )
-        if m.kind in ("longest", "shortest", "whole_word"):
+        if m.kind in ("longest", "shortest", "whole_word", "whole_word_longest"):
             # Counting needs the resolved/filtered match set for these kinds
             # (non-overlap resolution and boundary filtering change counts).
             return len(self.match_triples(text)[0])
@@ -480,6 +526,17 @@ class ShardedScanner:
                     self.matcher.dev.dfa_next_shortest, cls, self.mesh
                 )
             return emit.states_to_shortest_matches(m, states)
+        if m.kind == "whole_word_longest":
+            from ahocorasick_tpu.resolve.wholeword import follow_chain, word_starts
+
+            die, has, ms, me, mv = sharded_wwl_walks(self.matcher, cls, self.mesh)
+            is_word = np.asarray(m.class_is_word)[cls]
+            trip = follow_chain(die, has, ms, me, mv, word_starts(is_word), len(cls))
+            if not trip:
+                z = np.zeros(0, dtype=np.int64)
+                return z, z, z.copy()
+            a = np.asarray(trip, dtype=np.int64)
+            return a[:, 0], a[:, 1], a[:, 2]
         d = max(m.max_depth, 1)
         planes = (d + 31) // 32
         pd = self.matcher.dev.packed_dfa

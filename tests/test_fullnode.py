@@ -242,9 +242,20 @@ def test_sharded_whole_word_boundary_filter():
     assert sc.count(text) == len(want)
 
 
-def test_sharded_whole_word_longest_rejected():
+def test_sharded_whole_word_longest_matches_gold():
+    # Right-halo sharded wwl walks + host chain follow == sequential gold,
+    # including keywords with interior non-word chars and carried fail
+    # matches ("as" inside a failing "as i-x" walk).
     from ahocorasick_tpu import WholeWordLongestMatchSet
-    from ahocorasick_tpu.parallel.sharding import ShardedScanner
+    from ahocorasick_tpu.parallel.sharding import ShardedScanner, data_mesh
 
-    with pytest.raises(NotImplementedError, match="whole_word_longest"):
-        ShardedScanner(WholeWordLongestMatchSet(["ab cd"]))
+    kws = ["as", "as i-x", "i-x", "cd ef", "cd"]
+    rng = np.random.default_rng(44)
+    words = ["as", "i-x", "cd", "ef", "zz", "as i-x", "cd ef", "q"]
+    text = " ".join(rng.choice(words, size=400))
+    m = WholeWordLongestMatchSet(kws)
+    sc = ShardedScanner(m, data_mesh())
+    want = WholeWordLongestMatchSet(kws, engine="gold").match(text)
+    got = list(zip(*[a.tolist() for a in sc.match_triples(text)]))
+    assert [(s, e) for s, e, _ in got] == want
+    assert sc.count(text) == len(want)
