@@ -62,8 +62,7 @@ def ac_kernel_rate(m, cls: np.ndarray, reps: int = 8, chunk: int = 512):
         table, roll_axis = rd.table, 0
     else:
         d = max(c.max_depth, 1)
-        state_bits = max(int(c.num_states - 1).bit_length(), 1)
-        if state_bits + d > 32:
+        if not scan_batched.inline_packable(c):
             dfa_flat, emit_tab, halo = m.dev.split_dfa
             planes = (d + 31) // 32
             windows = scan_batched.chunk_classes(cls, chunk, halo)

@@ -140,6 +140,18 @@ def baseline_suite(full: bool, reps: int, seed: int) -> None:
         print(json.dumps({"config": "baseline-5-1m-keywords",
                           "skipped": "pass --full (compile ~1 min, large upload)"}))
 
+    # 6: wide-alphabet full-node (the reference testFullNode extreme,
+    # SetTest.java:73-79): ~54Ki single-char keywords compile to a
+    # row-compressed automaton; the device path scans the packed QUOTIENT
+    # DFA (2 distinct rows) — Pallas block / batched engines.
+    kws6 = [chr(c) for c in range(32, 0xD800)]
+    text6 = "".join(
+        chr(int(x)) for x in rng.integers(32, 0xD800, size=1 << 20)
+    )
+    print(json.dumps(run_config(
+        "baseline-6-fullnode-quotient", kind="ac", is_map=False,
+        keywords=kws6, case_sensitive=True, text=text6, reps=reps)))
+
 
 def scaling_bench(keywords_n: int, units: int, reps: int, seed: int) -> None:
     """Bytes/s scaling efficiency across the available device mesh.

@@ -228,6 +228,24 @@ def test_sharded_counter_row_compressed(monkeypatch):
     assert int(count(prepare(m._classes(text)))) == want
 
 
+def test_sharded_whole_word_row_compressed(monkeypatch):
+    # Row-compressed whole-word: quotient AC candidates + boundary filter.
+    from ahocorasick_tpu import WholeWordMatchSet
+    from ahocorasick_tpu.core import compiler as comp
+    from ahocorasick_tpu.parallel.sharding import ShardedScanner, data_mesh
+
+    monkeypatch.setattr(comp, "_DENSE_LIMIT", 4)
+    kws = ["ab", "cd", "abab"]
+    m = WholeWordMatchSet(kws)
+    assert m.compiled.is_row_compressed
+    sc = ShardedScanner(m, data_mesh())
+    text = "ab cd abab xab ab9 cd " * 30
+    want = WholeWordMatchSet(kws, engine="gold").match(text)
+    got = list(zip(*[a.tolist() for a in sc.match_triples(text)]))
+    assert [(s, e) for s, e, _ in got] == want
+    assert sc.count(text) == len(want)
+
+
 def test_sharded_whole_word_boundary_filter():
     from ahocorasick_tpu import WholeWordMatchSet
     from ahocorasick_tpu.parallel.sharding import ShardedScanner, data_mesh
