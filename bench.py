@@ -1,9 +1,21 @@
-"""Headline benchmark: PFAC scan throughput on one chip.
+"""Headline benchmark: DFA-scan throughput on one chip.
 
 Config (BASELINE.json config #2 scale): 10k seeded English-like keywords,
 case-sensitive set matcher, 32 Mi UTF-16 units (64 MiB) of synthetic text,
 device-resident classes, empty-listener analog (total match count on
 device).  Prints ONE JSON line.
+
+Driver-budget hygiene (the round-1 bench timed out, rc=124):
+
+* Host->device upload is ~4 MB/s through the axon tunnel, so only a 1 Mi-unit
+  int16 base text (2 MB) is uploaded; tiling to 32 Mi units and the halo
+  windowing both happen ON DEVICE (cheap reshapes/slices, no gather).
+* ONE compiled program does all timed work; the rep count is a *dynamic*
+  argument (``lax.fori_loop`` bound), so adapting reps to the wall-clock
+  budget never recompiles.
+* An internal budget (``BENCH_BUDGET_S``, default 480 s) degrades the rep
+  count rather than dying; the persistent compile cache
+  (``/tmp/ahocorasick_tpu_jax_cache``) makes warm reruns take seconds.
 
 ``vs_baseline``: the reference README reports 3.6 us to full-match one
 English paragraph with an empty listener (README.md:148, 235,886-word
@@ -15,6 +27,7 @@ denominator.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -23,6 +36,8 @@ REFERENCE_GBPS = 0.4
 
 N_KEYWORDS = 10_000
 TEXT_UNITS = 1 << 25  # 32 Mi units = 64 MiB UTF-16
+BASE_UNITS = 1 << 20  # host-generated + uploaded; tiled on device
+CHUNK = 512
 SEED = 20260817
 
 
@@ -39,45 +54,39 @@ def make_dictionary(rng: np.random.Generator, n: int) -> list:
     return sorted(words)
 
 
-def make_text_classes(m, rng: np.random.Generator, n_units: int) -> np.ndarray:
+def make_text_classes(m, keywords, rng: np.random.Generator, n_units: int) -> np.ndarray:
     """Synthetic text in compact-class space: seeded word soup.
 
     Built directly in class space (avoiding a giant Python string): words
     drawn from the dictionary's own class sequences (so there are real
     matches) mixed with random in-alphabet noise words, separated by the
-    class of ' '.  A ~1 Mi-unit base is generated then tiled — content
-    repetition is irrelevant for throughput measurement.
+    class of ' '.  Content repetition from on-device tiling is irrelevant
+    for throughput measurement.
     """
     sep = int(m.compiled.charmap[ord(" ")])
-    base_n = min(n_units, 1 << 20)
-    out = np.empty(base_n + 16, dtype=np.int32)
+    out = np.empty(n_units + 16, dtype=np.int32)
     pos = 0
     classes = np.arange(2, m.compiled.num_classes, dtype=np.int32)
-    kws = getattr(m, "_bench_keywords")
     kw_cls = [m.compiled.charmap[np.frombuffer(kw.encode("utf-16-le"), dtype=np.uint16).astype(np.int64)]
-              for kw in rng.choice(kws, size=512)]
+              for kw in rng.choice(keywords, size=512)]
     noise = [rng.choice(classes, size=int(rng.integers(3, 11))) for _ in range(512)]
-    while pos < base_n:
+    while pos < n_units:
         if rng.random() < 0.10:
             w = kw_cls[int(rng.integers(len(kw_cls)))]
         else:
             w = noise[int(rng.integers(len(noise)))]
-        k = min(len(w), base_n + 16 - pos)
+        k = min(len(w), n_units + 16 - pos)
         out[pos : pos + k] = w[:k]
         pos += k
-        if pos < base_n + 16:
+        if pos < n_units + 16:
             out[pos] = sep
             pos += 1
-    base = out[:base_n]
-    reps = -(-n_units // base_n)
-    return np.tile(base, reps)[:n_units]
-
-
-REPS = 16  # scans per timed call: amortizes per-dispatch RPC overhead
+    return out[:n_units]
 
 
 def main() -> None:
-    import os
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/ahocorasick_tpu_jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
@@ -90,69 +99,76 @@ def main() -> None:
     from ahocorasick_tpu.models.matchers import AhoCorasickSet
     from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
 
+    text_units = int(os.environ.get("BENCH_TEXT_UNITS", TEXT_UNITS))
+    base_units = min(BASE_UNITS, text_units)
+    assert text_units % base_units == 0 and text_units % CHUNK == 0
+
     rng = np.random.default_rng(SEED)
     keywords = make_dictionary(rng, N_KEYWORDS)
 
     m = AhoCorasickSet(keywords, engine="device")
-    m._bench_keywords = keywords
+    base = make_text_classes(m, keywords, rng, base_units)
 
-    cls = make_text_classes(m, rng, TEXT_UNITS)
+    # The facade's engine pick for this dictionary is rowdfa1 (v7, stride-1
+    # row gather; docs/PERF.md).  fits1() is asserted so the table is valid.
+    assert scan_rowdfa.fits1(m.compiled), "10k config must fit the row engine"
+    rd = m.dev.row_dfa1  # uploads just this table (~6 MB)
+    halo, state_bits, A = rd.halo, rd.state_bits, rd.num_classes
+    assert halo <= CHUNK
+    B = text_units // CHUNK
+    reps_tile = text_units // base_units
 
-    # The facade's engine pick for this dictionary (rowdfa1 at 10k keywords).
-    which = scan_rowdfa.pick_engine(m.compiled)
-    if which == "block":
-        from ahocorasick_tpu.kernels import scan_block
-
-        bd = m.dev.block_dfa
-        windows0 = scan_batched.chunk_classes(cls, 512, bd.halo)
-        W = windows0.shape[1]
-        windows = scan_block.regroup_windows(windows0)
-        G = windows.shape[0] // (W * 8)
-        count_fn = lambda t, w: scan_block.block_count(
-            t, w, bd.halo, bd.state_bits, bd.num_classes, bd.num_blocks, W, G)
-        table = bd.table
-    elif which == "rowdfa2":
-        rd = m.dev.row_dfa
-        windows = scan_rowdfa.chunk_classes2(cls, 512, rd.halo)
-        count_fn = lambda t, w: scan_rowdfa.rowdfa_count(
-            t, w, rd.halo, rd.state_bits, rd.num_classes)
-        table = rd.table
-    elif which == "rowdfa1":
-        rd = m.dev.row_dfa1
-        windows = scan_batched.chunk_classes(cls, 512, rd.halo)
-        count_fn = lambda t, w: scan_rowdfa.rowdfa1_count(
-            t, w, rd.halo, rd.state_bits, rd.num_classes)
-        table = rd.table
-    else:
-        pd = m.dev.packed_dfa
-        windows = scan_batched.chunk_classes(cls, 512, pd.halo)
-        count_fn = lambda t, w: scan_batched.batched_count(
-            t, w, pd.halo, pd.state_bits)
-        table = pd.table
-    wdev = jax.device_put(jnp.asarray(windows))
+    base_dev = jax.device_put(jnp.asarray(base.astype(np.int16)))  # 2 MB upload
 
     @jax.jit
-    def reps_count(table, w):
+    def build_windows(b16):
+        """(B, halo + CHUNK) windows == scan_batched.chunk_classes(tile(b16)).
+
+        chunk i covers [i*CHUNK, (i+1)*CHUNK) with a left halo = the last
+        ``halo`` units of chunk i-1 (PAD_CLASS before the text start)."""
+        t = jnp.tile(b16.astype(jnp.int32), reps_tile)
+        body = t.reshape(B, CHUNK)
+        pad = jnp.full((1, halo), scan_batched.PAD_CLASS, jnp.int32)
+        prev = jnp.concatenate([pad, body[:-1, CHUNK - halo:]], axis=0)
+        return jnp.concatenate([prev, body], axis=1)
+
+    windows = build_windows(base_dev)
+    windows.block_until_ready()
+
+    @jax.jit
+    def reps_count(table, w, reps):
         def one(i, tot):
             # jnp.roll reorders lanes per rep: same total work, defeats CSE.
             wi = jnp.roll(w, i, axis=0)
-            return tot + count_fn(table, wi)
+            return tot + scan_rowdfa.rowdfa1_count(table, wi, halo, state_bits, A)
+        return lax.fori_loop(0, reps, one, jnp.int32(0))
 
-        return lax.fori_loop(0, REPS, one, jnp.int32(0))
-
-    # Warmup (compile) + correctness guard: count must be positive.
-    total = int(count_fn(table, wdev))
+    # Warmup (the one compile) + correctness guard: rep 0 is the plain scan.
+    total = int(reps_count(rd.table, windows, jnp.int32(1)))
     assert total > 0, "benchmark text produced zero matches"
 
-    float(reps_count(table, wdev))  # compile
-    times = []
-    for _ in range(3):
+    def timed(reps: int) -> float:
         t0 = time.perf_counter()
-        float(reps_count(table, wdev))
-        times.append(time.perf_counter() - t0)
-    dt = min(times) / REPS
+        int(reps_count(rd.table, windows, jnp.int32(reps)))
+        return time.perf_counter() - t0
 
-    gbps = (TEXT_UNITS * 2) / dt / 1e9
+    # Paired measurement cancels per-dispatch RPC overhead:
+    # dt/rep = (t(hi) - t(lo)) / (hi - lo).
+    lo = 2
+    t_lo = timed(lo)
+    per_rep_est = max(t_lo / lo, 1e-4)
+    remaining = budget_s - (time.perf_counter() - t_start) - 15.0
+    hi = lo + int(max(4, min(32, remaining / (3.5 * per_rep_est))))
+    dts = []
+    for _ in range(3):
+        t_hi = timed(hi)
+        t_lo = timed(lo)
+        dts.append((t_hi - t_lo) / (hi - lo))
+        if time.perf_counter() - t_start > budget_s - 2.5 * (t_hi + t_lo):
+            break
+    dt = min(dts)
+
+    gbps = (text_units * 2) / dt / 1e9
     print(json.dumps({
         "metric": "dfa_scan_throughput",
         "value": round(gbps, 3),
