@@ -46,7 +46,13 @@ from ahocorasick_tpu.resolve.queue import resolve_longest
 from ahocorasick_tpu.resolve.wholeword import follow_chain, word_starts
 from ahocorasick_tpu.utils import chartables
 
-def _device_capable(compiled: CompiledMatcher, kind: str) -> bool:
+# Sigma-stitched sharded shortest scans carry all S concrete states through
+# the per-chunk state-map scan (one two-level gather per state per char), so
+# they are gated to small automata; larger ones use the exact host path.
+_SIGMA_MAX_STATES = 1 << 14
+
+
+def _device_capable(compiled: CompiledMatcher, kind: str, *, sharded: bool = False) -> bool:
     """Does this compiled matcher have a device scan path?
 
     Dense matchers: always (packed or split layout).  Row-compressed
@@ -54,11 +60,18 @@ def _device_capable(compiled: CompiledMatcher, kind: str) -> bool:
     batched/row/block scan over the quotient DFA (``ops/scan_batched``);
     SHORTEST's single-chip device path and WHOLE_WORD_LONGEST's trie walks
     need dense per-state tables, so those stay on the (vectorized) host path.
+
+    ``sharded`` is the one divergence between this predicate and the sharded
+    scanner (``parallel.sharding.ShardedScanner``): row-compressed SHORTEST
+    additionally rides the sigma-stitched rowtable scan there when the
+    automaton is small enough for the S-lane sigma pass.
     """
     if not compiled.is_row_compressed:
         return True
     from ahocorasick_tpu.ops import scan_batched
 
+    if sharded and kind == SHORTEST:
+        return True  # sigma rowtable path (gated to small S internally)
     return kind in (AC, LONGEST, WHOLE_WORD) and scan_batched.quotient_packable(
         compiled
     )
@@ -239,6 +252,10 @@ class _DeviceTables:
 
             m = self._m
             rt = m.dfa_next
+            # Compiler invariant (asserted by scan_batched.build_packed too):
+            # the root's row is row id 0, so mapping match states to row 0
+            # bakes the restart-at-root into the table.
+            assert int(rt.row_id[0]) == 0, "root must own row id 0"
             row_id_eff = np.where(
                 m.match_len[: m.num_states] > 0, 0, rt.row_id
             ).astype(np.int32)

@@ -45,7 +45,11 @@ def initialize(
     """
     import jax
 
-    explicit = coordinator_address is not None or num_processes not in (None, 1)
+    explicit = (
+        coordinator_address is not None
+        or num_processes not in (None, 1)
+        or process_id is not None
+    )
     env = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
     )
@@ -53,7 +57,9 @@ def initialize(
         return jax.process_count() > 1
     try:
         jax.distributed.initialize(
-            coordinator_address=coordinator_address,
+            # A bespoke COORDINATOR_ADDRESS env var is not one of JAX's
+            # cluster auto-detection inputs; pass it through explicitly.
+            coordinator_address=coordinator_address or env,
             num_processes=num_processes,
             process_id=process_id,
             **kwargs,

@@ -476,13 +476,10 @@ class ShardedScanner:
     """
 
     def __init__(self, matcher, mesh: Optional[Mesh] = None):
-        from ahocorasick_tpu.ops import scan_batched
+        from ahocorasick_tpu.models.matchers import _device_capable
 
         m = matcher.compiled
-        if m.is_row_compressed and not (
-            m.kind in ("ac", "longest", "shortest", "whole_word")
-            and (m.kind == "shortest" or scan_batched.quotient_packable(m))
-        ):
+        if not _device_capable(m, m.kind, sharded=True):
             raise ValueError(
                 "row-compressed (wide-alphabet) matcher has no sharded "
                 "device path for this kind; scan on the host path "
@@ -515,7 +512,21 @@ class ShardedScanner:
         cls = self.matcher._classes(text)
         if m.kind == "shortest":
             # Sequential-exact path: sigma-stitched arrival states on the
-            # restart-baked total DFA, matches extracted host-side.
+            # restart-baked total DFA, matches extracted host-side.  The
+            # sigma pass carries all S entry-state lanes, so it is gated to
+            # small automata; beyond that the exact vectorized host cursor
+            # is faster than a pathological S-lane device scan.
+            from ahocorasick_tpu.models.matchers import _SIGMA_MAX_STATES
+
+            if m.num_states > _SIGMA_MAX_STATES:
+                from ahocorasick_tpu.core.stream import make_cursor
+
+                trip = make_cursor(m).feed(cls, is_final=True)
+                if not trip:
+                    z = np.zeros(0, dtype=np.int64)
+                    return z, z, z.copy()
+                a = np.asarray(trip, dtype=np.int64)
+                return a[:, 0], a[:, 1], a[:, 2]
             if m.is_row_compressed:
                 rid_eff, rows = self.matcher.dev.rowdfa_shortest
                 states = sharded_arrival_states_rowtable(
