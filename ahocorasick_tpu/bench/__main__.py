@@ -200,8 +200,64 @@ def scaling_bench(keywords_n: int, units: int, reps: int, seed: int) -> None:
         }))
 
 
+def compare_results(path_a: str, path_b: str) -> int:
+    """A/B compare two bench result files (JSON lines; reference
+    ``bin/test-branches:1-18`` analog — there the two sides are git
+    branches; here they are result files produced by any two states,
+    typically via ``bin/bench-ab``).
+
+    Records pair up by their identity fields (config/kind/map/keywords/
+    units); each shared numeric metric prints a delta and ratio.  Exit
+    status 1 if any throughput metric regressed by more than 5%.
+    """
+    _IDENT = ("config", "kind", "map", "engine", "keywords", "units", "devices")
+    _HIGHER_IS_BETTER = ("gbps", "kernel_gbps", "matches_per_sec", "efficiency_vs_1")
+    _LOWER_IS_BETTER = ("scan_s", "compile_s")
+
+    def load(path):
+        recs = {}
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or not line.startswith("{"):
+                    continue
+                r = json.loads(line)
+                key = tuple((k, r[k]) for k in _IDENT if k in r and k != "engine")
+                recs[key] = r
+        return recs
+
+    a, b = load(path_a), load(path_b)
+    regressed = False
+    for key in sorted(set(a) & set(b), key=str):
+        ra, rb = a[key], b[key]
+        label = ra.get("config") or ra.get("kind")
+        if "devices" in ra:
+            label = f"{label or 'scaling'}@{ra['devices']}dev"
+        label = label or str(dict(key))
+        for metric in _HIGHER_IS_BETTER + _LOWER_IS_BETTER:
+            va, vb = ra.get(metric), rb.get(metric)
+            if not isinstance(va, (int, float)) or not isinstance(vb, (int, float)):
+                continue
+            ratio = (vb / va) if va else float("inf")
+            better = ratio >= 1.0 if metric in _HIGHER_IS_BETTER else ratio <= 1.0
+            mark = "+" if better else "-"
+            if metric in _HIGHER_IS_BETTER and ratio < 0.95:
+                regressed = True
+            print(f"{mark} {label:40s} {metric:16s} "
+                  f"{va:>12g} -> {vb:>12g}  ({ratio:.3f}x)")
+    only_a, only_b = set(a) - set(b), set(b) - set(a)
+    for key in sorted(only_a, key=str):
+        print(f"? only in A: {a[key].get('config') or a[key].get('kind')}")
+    for key in sorted(only_b, key=str):
+        print(f"? only in B: {b[key].get('config') or b[key].get('kind')}")
+    return 1 if regressed else 0
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="python -m ahocorasick_tpu.bench")
+    p.add_argument("--compare", nargs=2, metavar=("A", "B"), default=None,
+                   help="A/B compare two bench result files (JSON lines); "
+                        "exits 1 on a >5%% throughput regression")
     p.add_argument("--scaling", action="store_true",
                    help="measure bytes/s scaling efficiency over the device mesh")
     p.add_argument("--suite", choices=("baseline",), default=None,
@@ -223,6 +279,9 @@ def main(argv=None) -> None:
     p.add_argument("--platform", choices=("auto", "cpu", "tpu"), default="auto",
                    help="cpu forces host jax even when a TPU backend is pinned")
     args = p.parse_args(argv)
+
+    if args.compare:
+        raise SystemExit(compare_results(*args.compare))
 
     if args.platform == "cpu":
         import jax

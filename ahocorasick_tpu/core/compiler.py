@@ -224,6 +224,7 @@ def compile_matcher(
     values: Optional[Iterable] = None,
     word_chars: Optional[np.ndarray] = None,
     backend: str = "auto",
+    thresholder=None,
 ) -> CompiledMatcher:
     """Compile a keyword list into dense automaton tables.
 
@@ -232,11 +233,17 @@ def compile_matcher(
     word-character set).  ``backend``: ``"auto"`` uses the native (C++)
     compiler when available for the fail-link kinds, ``"python"``/``"native"``
     force one; outputs are byte-identical either way (parity-tested).
+    ``thresholder``: dense-vs-row-compressed table policy
+    (``utils.thresholds.Thresholder``; see that module for the SPI mapping).
+    ``None`` = the default entry budget.  A custom policy compiles through
+    the Python path (the native compiler only builds dense tables).
     """
     if kind not in KINDS:
         raise ValueError(f"unknown matcher kind {kind!r}")
     if backend not in ("auto", "python", "native"):
         raise ValueError(f"unknown backend {backend!r}")
+    if thresholder is not None and backend == "auto":
+        backend = "python"
     if backend != "python" and kind in (AC, LONGEST, SHORTEST):
         try:
             from ahocorasick_tpu.native import lib as native_lib
@@ -303,7 +310,10 @@ def compile_matcher(
             value_list.append(val)
         max_depth = max(max_depth, len(units))
 
-    return _finalize(trie, kind, case_sensitive, value_list, word_chars, max_depth)
+    return _finalize(
+        trie, kind, case_sensitive, value_list, word_chars, max_depth,
+        thresholder=thresholder,
+    )
 
 
 def _compile_native(
@@ -434,11 +444,22 @@ def _finalize(
     value_list: Optional[list],
     word_chars: Optional[np.ndarray],
     max_depth: int,
+    thresholder=None,
 ) -> CompiledMatcher:
     S = len(trie)
     charmap, A, class_of, class_is_word = _build_alphabet(trie, case_sensitive, word_chars)
     DEAD = S
-    dense = (S + 1) * A <= _DENSE_LIMIT
+    # Dense-vs-RowTable layout: the Thresholder SPI decides (whole automaton
+    # as the one "node" — see utils/thresholds.py), under the hard entry cap
+    # that keeps the testFullNode extreme from materializing 16 GB tables.
+    if thresholder is None:
+        from ahocorasick_tpu.utils.thresholds import DenseTableBudget
+
+        thresholder = DenseTableBudget(_DENSE_LIMIT)
+    n_edges = sum(len(kids) for kids in trie.children)
+    dense = (S + 1) * A <= _DENSE_LIMIT and bool(
+        thresholder.is_over_threshold(n_edges, 0, (S + 1) * A)
+    )
 
     # Trie edges in class space, one override dict per node.  Rows are
     # hash-consed below: nodes sharing edge sets (e.g. all leaves) share

@@ -299,10 +299,10 @@ class _Matcher:
         engine: str = "auto",
         thresholder=None,
     ) -> None:
-        # ``thresholder`` is accepted for reference-API parity; the compiled
-        # tables are always dense over compacted alphabet classes, so the
-        # dense/sparse node policy it used to control has no equivalent cost
-        # here.  See utils/thresholds.py.
+        # ``thresholder`` governs the dense-vs-row-compressed table layout —
+        # the framework's analog of the reference's RangeNode/HashmapNode
+        # node-storage policy (threshold/Thresholder.java:3-5).  See
+        # utils/thresholds.py for the SPI mapping; None = default budget.
         if engine not in ("auto", "device", "gold"):
             raise ValueError(f"unknown engine {engine!r}")
         self.engine = engine
@@ -312,6 +312,7 @@ class _Matcher:
             case_sensitive,
             values=values if self.is_map else None,
             word_chars=word_chars,
+            thresholder=thresholder,
         )
         if engine == "device" and not _device_capable(self.compiled, self.kind):
             raise ValueError(

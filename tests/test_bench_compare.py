@@ -1,0 +1,50 @@
+"""A/B bench-result comparison (reference bin/test-branches:1-18 analog).
+
+The reference's harness checks out two git branches and eyeballs perf
+main() output; here two JSON-lines result files pair up by config identity
+and the compare exits nonzero on a >5% throughput regression, which makes
+it usable from CI / git-bisect (bin/bench-ab drives it across revisions).
+"""
+
+import json
+
+from ahocorasick_tpu.bench.__main__ import compare_results
+
+
+def _write(tmp_path, name, records):
+    p = tmp_path / name
+    p.write_text("\n".join(json.dumps(r) for r in records) + "\n")
+    return str(p)
+
+
+_REC = {"config": "c1", "kind": "ac", "map": False, "keywords": 100,
+        "units": 1024, "gbps": 1.0, "scan_s": 0.5}
+
+
+def test_no_regression_exits_zero(tmp_path, capsys):
+    a = _write(tmp_path, "a.jsonl", [_REC])
+    b = _write(tmp_path, "b.jsonl", [{**_REC, "gbps": 1.05, "scan_s": 0.4}])
+    assert compare_results(a, b) == 0
+    out = capsys.readouterr().out
+    assert "1.050x" in out and "gbps" in out
+
+
+def test_throughput_regression_exits_one(tmp_path):
+    a = _write(tmp_path, "a.jsonl", [_REC])
+    b = _write(tmp_path, "b.jsonl", [{**_REC, "gbps": 0.9}])
+    assert compare_results(a, b) == 1
+
+
+def test_unpaired_records_reported_not_fatal(tmp_path, capsys):
+    a = _write(tmp_path, "a.jsonl", [_REC, {**_REC, "config": "only-a"}])
+    b = _write(tmp_path, "b.jsonl", [_REC, {**_REC, "config": "only-b"}])
+    assert compare_results(a, b) == 0
+    out = capsys.readouterr().out
+    assert "only in A: only-a" in out and "only in B: only-b" in out
+
+
+def test_non_json_lines_skipped(tmp_path):
+    a = _write(tmp_path, "a.jsonl", [_REC])
+    p = tmp_path / "b.jsonl"
+    p.write_text("== side b ==\n" + json.dumps({**_REC, "gbps": 2.0}) + "\n")
+    assert compare_results(a, str(p)) == 0

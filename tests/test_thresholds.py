@@ -1,14 +1,21 @@
-"""RangeNodeThreshold cost-model parity (threshold/RangeNodeThreshold.java).
+"""Thresholder SPI: cost-model parity AND real layout governance.
 
-The policy no longer steers storage here (rows are dense over compacted
-classes, wide alphabets hash-cons rows), but the reference formula is kept
-as a diagnostic predicate and for constructor parity — pin it exactly:
-always dense when the key interval is <= 8 (:24-26), else
+RangeNodeThreshold pins the reference formula exactly
+(threshold/RangeNodeThreshold.java): always dense when the key interval is
+<= 8 (:24-26), else
 ``size + size/4 + 3 > interval * (max - linear/(constant+level)**exponent)``
-(:27-28).
+(:27-28).  The SPI is wired into the compiler's dense-vs-RowTable decision
+(one call per automaton; see utils/thresholds.py), so a custom policy
+observably changes the compiled table layout — tested below.
 """
 
-from ahocorasick_tpu.utils.thresholds import RangeNodeThreshold, Thresholder
+import numpy as np
+
+from ahocorasick_tpu.utils.thresholds import (
+    DenseTableBudget,
+    RangeNodeThreshold,
+    Thresholder,
+)
 
 
 def _java_formula(size, level, interval, exp=1.0, lin=1.0, mx=0.65, const=2.0):
@@ -57,3 +64,47 @@ def test_base_class_is_abstract():
 
     with pytest.raises(NotImplementedError):
         Thresholder().is_over_threshold(1, 1, 1)
+
+
+class _AlwaysSparse(Thresholder):
+    def is_over_threshold(self, node_size, node_level, key_interval_size):
+        return False
+
+
+def test_thresholder_governs_table_layout():
+    """A custom policy observably changes the compiled table layout."""
+    from ahocorasick_tpu import AhoCorasickSet
+
+    kws = ["he", "she", "his", "hers"]
+    dense = AhoCorasickSet(kws)
+    assert not dense.compiled.is_row_compressed  # default: small dict is dense
+
+    sparse = AhoCorasickSet(kws, thresholder=_AlwaysSparse())
+    assert sparse.compiled.is_row_compressed
+    # Layout change, identical semantics and identical logical tables.
+    text = "ushers and his"
+    assert sparse.match(text) == dense.match(text)
+    np.testing.assert_array_equal(
+        sparse.compiled.dfa_next.materialize(), dense.compiled.dfa_next
+    )
+
+
+def test_dense_budget_hard_cap_beats_permissive_policy():
+    """A permissive thresholder cannot force dense past the entry cap:
+    the testFullNode-style wide alphabet stays row-compressed."""
+    from ahocorasick_tpu import AhoCorasickSet
+
+    class AlwaysDense(Thresholder):
+        def is_over_threshold(self, node_size, node_level, key_interval_size):
+            return True
+
+    kws = [chr(c) for c in range(32, 32 + 40000)]
+    m = AhoCorasickSet(kws, thresholder=AlwaysDense())
+    assert m.compiled.is_row_compressed  # (S+1)*A over _DENSE_LIMIT
+    assert m.count("".join(chr(32 + i) for i in range(100))) == 100
+
+
+def test_dense_table_budget_policy():
+    t = DenseTableBudget(max_entries=1000)
+    assert t.is_over_threshold(5, 0, 1000)
+    assert not t.is_over_threshold(5, 0, 1001)
