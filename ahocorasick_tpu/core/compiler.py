@@ -316,6 +316,46 @@ def compile_matcher(
     )
 
 
+def shortest_survivors(
+    keywords: Iterable[str],
+    case_sensitive: bool,
+    values: Optional[Iterable] = None,
+):
+    """Keywords surviving ShortestMatchSet's insert-time prefix skip, with
+    their values, in input order.
+
+    Reproduces the OUTER loop (``ShortestMatchSet.java:23-42``): a keyword is
+    skipped when a (proper or full) prefix of it is already a match — in
+    particular an exact duplicate is skipped, so (unlike the AC map's
+    overwrite rule) the FIRST value wins.  The surviving set is what the
+    candidates-then-resolve device path scans: occurrences of later-pruned
+    keywords can never win the min-end greedy resolve (every such keyword has
+    a strictly-earlier-ending candidate inside it with the same-or-later
+    start), so insert-time skips are the only filtering that affects values.
+    """
+    trie = _Trie()
+    kws: list = []
+    vals: list = [] if values is not None else None
+    for keyword, val in _iter_pairs(keywords, values):
+        if not keyword:
+            continue
+        units = _fold_units(keyword, case_sensitive)
+        node = 0
+        skipped = False
+        for unit in units:
+            node = trie.add_child(node, int(unit))
+            if trie.own_len[node] != 0:
+                skipped = True
+                break
+        if skipped:
+            continue
+        trie.own_len[node] = len(units)
+        kws.append(keyword)
+        if vals is not None:
+            vals.append(val)
+    return kws, vals
+
+
 def _compile_native(
     keywords: Iterable[str],
     kind: str,

@@ -42,14 +42,9 @@ from ahocorasick_tpu.core.compiler import (
     CompiledMatcher,
     compile_matcher,
 )
-from ahocorasick_tpu.resolve.queue import resolve_longest
+from ahocorasick_tpu.resolve.queue import resolve_longest, resolve_shortest
 from ahocorasick_tpu.resolve.wholeword import follow_chain, word_starts
 from ahocorasick_tpu.utils import chartables
-
-# Sigma-stitched sharded shortest scans carry all S concrete states through
-# the per-chunk state-map scan (one two-level gather per state per char), so
-# they are gated to small automata; larger ones use the exact host path.
-_SIGMA_MAX_STATES = 1 << 14
 
 
 def _device_capable(compiled: CompiledMatcher, kind: str, *, sharded: bool = False) -> bool:
@@ -58,20 +53,20 @@ def _device_capable(compiled: CompiledMatcher, kind: str, *, sharded: bool = Fal
     Dense matchers: always (packed or split layout).  Row-compressed
     (wide-alphabet) matchers: only the kinds whose device path is the packed
     batched/row/block scan over the quotient DFA (``ops/scan_batched``);
-    SHORTEST's single-chip device path and WHOLE_WORD_LONGEST's trie walks
-    need dense per-state tables, so those stay on the (vectorized) host path.
-
-    ``sharded`` is the one divergence between this predicate and the sharded
-    scanner (``parallel.sharding.ShardedScanner``): row-compressed SHORTEST
-    additionally rides the sigma-stitched rowtable scan there when the
-    automaton is small enough for the S-lane sigma pass.
+    WHOLE_WORD_LONGEST's trie walks need dense per-state tables, so it stays
+    on the (vectorized) host path.  SHORTEST scans as an AC automaton over
+    the insert-surviving keywords plus a host resolve
+    (``ShortestMatchSet._ac``) — its capability is the internal AC
+    automaton's, which this predicate cannot see; ``_pick_engine`` and the
+    sharded scanner consult that matcher directly, so SHORTEST answers True
+    here (there is always at least the exact host-cursor path behind it).
     """
     if not compiled.is_row_compressed:
         return True
     from ahocorasick_tpu.ops import scan_batched
 
-    if sharded and kind == SHORTEST:
-        return True  # sigma rowtable path (gated to small S internally)
+    if kind == SHORTEST:
+        return True  # delegated: internal AC matcher or host cursor
     return kind in (AC, LONGEST, WHOLE_WORD) and scan_batched.quotient_packable(
         compiled
     )
@@ -508,16 +503,26 @@ class _PfacEngine(_Matcher):
     device_engine = "rowdfa"
 
     def _candidates(self, cls: np.ndarray):
-        m = self.compiled
-        if self.device_engine == "pfac2" or len(cls) == 0:
+        bits = self._end_planes(cls)
+        if bits is None:
             return self._candidates_pfac2(cls)
-        if self.device_engine == "batched2":
-            return self._candidates_batched2(cls)
-        if self.device_engine == "rowdfa":
-            return self._candidates_rowdfa(cls)
-        return self._candidates_batched(cls)
+        from ahocorasick_tpu.ops import scan_batched
 
-    def _candidates_batched(self, cls: np.ndarray):
+        return scan_batched.ac_matches_batched(self.compiled, cls, bits)
+
+    def _end_planes(self, cls: np.ndarray):
+        """END-indexed emit planes ``uint32[P, >=len(cls)]`` from the picked
+        engine, or None when the configured engine is not plane-producing
+        (the pfac2 cross-check walk emits START-indexed planes)."""
+        if self.device_engine == "pfac2" or len(cls) == 0:
+            return None
+        if self.device_engine == "batched2":
+            return self._planes_batched2(cls)
+        if self.device_engine == "rowdfa":
+            return self._planes_rowdfa(cls)
+        return self._planes_batched(cls)
+
+    def _planes_batched(self, cls: np.ndarray):
         import jax.numpy as jnp
 
         from ahocorasick_tpu.ops import scan_batched
@@ -534,15 +539,15 @@ class _PfacEngine(_Matcher):
                 dfa_flat, emit_tab, jnp.asarray(windows), halo,
                 m.num_classes, planes,
             )
-            return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
+            return np.asarray(bits)
         pd = self.dev.packed_dfa
         windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, pd.halo)
         bits = scan_batched.batched_emit_planes(
             pd.table, jnp.asarray(windows), pd.halo, pd.state_bits, 1
         )
-        return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
+        return np.asarray(bits)
 
-    def _candidates_rowdfa(self, cls: np.ndarray):
+    def _planes_rowdfa(self, cls: np.ndarray):
         """Row-gather engines: stride-2 (v6) when the (s, c0)-indexed table
         fits VMEM, else stride-1 (v7) when the packed table fits, else the
         element-gather batched engine (v4)."""
@@ -553,7 +558,7 @@ class _PfacEngine(_Matcher):
         m = self.compiled
         which = scan_rowdfa.pick_engine(m)
         if which == "batched":
-            return self._candidates_batched(cls)
+            return self._planes_batched(cls)
         if which == "block":
             from ahocorasick_tpu.kernels import scan_block
 
@@ -568,7 +573,7 @@ class _PfacEngine(_Matcher):
             )
             # Padded lanes (B rounded to G*1024 windows) trail the text; the
             # extractor trims to len(cls).
-            return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
+            return np.asarray(bits)
         if which == "rowdfa2":
             rd = self.dev.row_dfa
             windows = scan_rowdfa.chunk_classes2(cls, _BATCH_CHUNK, rd.halo)
@@ -583,16 +588,16 @@ class _PfacEngine(_Matcher):
                 rd.table, jnp.asarray(windows), rd.halo, rd.state_bits,
                 rd.num_classes,
             )
-        return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
+        return np.asarray(bits)
 
-    def _candidates_batched2(self, cls: np.ndarray):
+    def _planes_batched2(self, cls: np.ndarray):
         import jax.numpy as jnp
 
-        from ahocorasick_tpu.ops import scan_batched, scan_batched2
+        from ahocorasick_tpu.ops import scan_batched2
 
         m = self.compiled
         if not scan_batched2.fits(m):
-            return self._candidates(cls)  # stride-1 fallback
+            return self._planes_rowdfa(cls)  # standard-engine fallback
         p2 = self.dev.packed2_dfa
         d = max(m.max_depth, 1)
         windows = scan_batched2.chunk_classes2(cls, _BATCH_CHUNK, p2.halo)
@@ -600,7 +605,7 @@ class _PfacEngine(_Matcher):
             p2.table, jnp.asarray(windows), p2.halo, p2.state_bits,
             p2.num_classes, (d + 31) // 32,
         )
-        return scan_batched.ac_matches_batched(m, cls, np.asarray(bits))
+        return np.asarray(bits)
 
     def _candidates_pfac2(self, cls: np.ndarray):
         import jax.numpy as jnp
@@ -648,8 +653,12 @@ class LongestMatchSet(_PfacEngine):
     kind = LONGEST
 
     def _device_triples(self, cls):
-        starts, ends, vals = self._candidates(cls)
-        return resolve_longest(starts, ends, vals)
+        bits = self._end_planes(cls)
+        if bits is None:
+            return resolve_longest(*self._candidates(cls))
+        from ahocorasick_tpu.ops import emit
+
+        return emit.resolve_end_planes(self.compiled, cls, bits, "longest")
 
 
 class LongestMatchMap(LongestMatchSet):
@@ -661,11 +670,100 @@ class LongestMatchMap(LongestMatchSet):
 
 
 class ShortestMatchSet(_Matcher):
-    """Leftmost-shortest non-overlapping (reference ``ShortestMatchSet``)."""
+    """Leftmost-shortest non-overlapping (reference ``ShortestMatchSet``).
+
+    Device path: the reference's lagged restart loop
+    (``ShortestMatchSet.java:182-260``) destroys d-synchronization (the
+    state depends on where earlier matches ended, not just the last d
+    characters), so it cannot ride the parallel halo-warmup engines
+    directly.  Instead we scan a plain AC automaton over the
+    insert-surviving keywords with the SAME fast engines every other kind
+    uses (``pick_engine``: block / rowdfa / batched), then run the exact
+    min-end greedy resolve (``resolve.queue.resolve_shortest`` — the
+    equivalence argument lives on that docstring).  ``from_compiled``
+    artifacts carry no keyword list, so they fall back to the sequential
+    restart-baked device scan (dense) or the host cursor.
+    """
 
     kind = SHORTEST
 
+    def __init__(self, keywords, case_sensitive: bool = True, **kw):
+        keywords = list(keywords)
+        if kw.get("values") is not None:
+            kw["values"] = list(kw["values"])
+        super().__init__(keywords, case_sensitive, **kw)
+        self._src = (keywords, kw.get("values"), case_sensitive,
+                     kw.get("thresholder"))
+        self._ac_cache = None
+        if self.engine == "device" and not _device_capable(self._ac.compiled, AC):
+            raise ValueError(
+                "dictionary is too wide for the shortest device path "
+                "(the internal AC automaton has no packable quotient); "
+                "use engine='auto' or 'gold'"
+            )
+
+    @property
+    def _ac(self):
+        """Internal AC matcher over the insert-surviving keywords (lazy);
+        None for ``from_compiled`` artifacts (no keyword source)."""
+        src = getattr(self, "_src", None)
+        if src is None:
+            return None
+        if self._ac_cache is None:
+            from ahocorasick_tpu.core.compiler import shortest_survivors
+
+            kws, vals, case_sensitive, thresholder = src
+            skws, svals = shortest_survivors(kws, case_sensitive, vals)
+            if self.is_map:
+                self._ac_cache = AhoCorasickMap(
+                    skws, svals, case_sensitive, thresholder=thresholder
+                )
+            else:
+                self._ac_cache = AhoCorasickSet(
+                    skws, case_sensitive, thresholder=thresholder
+                )
+            # The two compiles see the same char set in the same first-
+            # occurrence order (insert-skipped keywords never add new chars:
+            # the skip trigger is an existing keyword path), so the charmaps
+            # normally coincide and shortest-classes feed the AC engines
+            # directly.  Guard with a class remap if they ever diverge.
+            mc, ac = self.compiled, self._ac_cache.compiled
+            if np.array_equal(mc.charmap, ac.charmap):
+                self._cls_map = None
+            else:
+                M = np.zeros(mc.num_classes, dtype=np.int32)
+                M[mc.charmap] = ac.charmap
+                self._cls_map = M
+        return self._ac_cache
+
+    def _ac_classes(self, cls: np.ndarray) -> np.ndarray:
+        """Shortest-charmap classes -> internal-AC-charmap classes."""
+        return cls if self._cls_map is None else self._cls_map[cls]
+
+    def _pick_engine(self, n_units: int) -> str:
+        ac = self._ac
+        if ac is None:
+            if self.compiled.is_row_compressed:
+                return "gold"  # artifact without dense tables: host path
+            return super()._pick_engine(n_units)
+        if not _device_capable(ac.compiled, AC):
+            return "gold"
+        if self.engine != "auto":
+            return self.engine
+        return "device" if n_units >= _AUTO_DEVICE_MIN_UNITS else "gold"
+
     def _device_triples(self, cls):
+        ac = self._ac
+        if ac is not None:
+            cls = self._ac_classes(cls)
+            bits = ac._end_planes(cls)
+            if bits is None:
+                return resolve_shortest(*ac._candidates(cls))
+            from ahocorasick_tpu.ops import emit
+
+            return emit.resolve_end_planes(ac.compiled, cls, bits, "shortest")
+
+        # from_compiled fallback: sequential scan of the restart-baked DFA.
         import jax.numpy as jnp
 
         from ahocorasick_tpu.ops import emit, scan_dfa, scan_pfac

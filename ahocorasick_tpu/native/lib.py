@@ -59,6 +59,14 @@ def _load():
     lib.ac_resolve_longest.restype = ctypes.c_int64
     lib.ac_resolve_longest.argtypes = [i64p, i64p, i64p, ctypes.c_int64,
                                        i64p, i64p, i64p]
+    lib.ac_resolve_shortest.restype = ctypes.c_int64
+    lib.ac_resolve_shortest.argtypes = [i64p, i64p, i64p, ctypes.c_int64,
+                                        i64p, i64p, i64p]
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.ac_extract_resolve.restype = ctypes.c_int64
+    lib.ac_extract_resolve.argtypes = [u32p, ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int, i64p, i64p]
     _lib = lib
     return _lib
 
@@ -187,3 +195,44 @@ def resolve_longest(starts, ends, vals):
         _ptr(out_v, i64),
     )
     return out_s[:k], out_e[:k], out_v[:k]
+
+
+def resolve_shortest(starts, ends, vals):
+    """Native leftmost-shortest (min-end) resolver; mirror of
+    resolve/queue.py::resolve_shortest_py, which is the parity oracle."""
+    lib = _load()
+    assert lib, "native library unavailable"
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    ends = np.ascontiguousarray(ends, dtype=np.int64)
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(starts)
+    out_s = np.empty(max(n, 1), dtype=np.int64)
+    out_e = np.empty(max(n, 1), dtype=np.int64)
+    out_v = np.empty(max(n, 1), dtype=np.int64)
+    i64 = ctypes.c_int64
+    k = lib.ac_resolve_shortest(
+        _ptr(starts, i64), _ptr(ends, i64), _ptr(vals, i64),
+        ctypes.c_int64(n), _ptr(out_s, i64), _ptr(out_e, i64),
+        _ptr(out_v, i64),
+    )
+    return out_s[:k], out_e[:k], out_v[:k]
+
+
+def extract_resolve(bits: np.ndarray, n: int, max_depth: int, mode: str):
+    """Fused END-indexed bitplane extraction + greedy resolve (see
+    ``ac_extract_resolve`` in ac_native.cpp).  Returns accepted (starts,
+    ends); values are re-walked by the caller over just those spans."""
+    lib = _load()
+    assert lib, "native library unavailable"
+    bits = np.ascontiguousarray(bits, dtype=np.uint32)
+    planes, stride = bits.shape
+    assert n <= stride
+    out_s = np.empty(n + 1, dtype=np.int64)
+    out_e = np.empty(n + 1, dtype=np.int64)
+    i64 = ctypes.c_int64
+    k = lib.ac_extract_resolve(
+        _ptr(bits, ctypes.c_uint32), i64(planes), i64(stride), i64(n),
+        i64(max_depth), ctypes.c_int(0 if mode == "longest" else 1),
+        _ptr(out_s, i64), _ptr(out_e, i64),
+    )
+    return out_s[:k], out_e[:k]

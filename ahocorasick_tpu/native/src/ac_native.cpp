@@ -461,4 +461,81 @@ int64_t ac_resolve_longest(const int64_t* starts, const int64_t* ends,
   return top + 1;
 }
 
+// Leftmost-shortest (min-end) greedy over end-sorted candidates — mirror of
+// resolve/queue.py::resolve_shortest_py (the parity oracle); reproduces the
+// lagged restart loop ShortestMatchSet.java:182-260 (equivalence argument
+// on resolve/queue.py::resolve_shortest).
+int64_t ac_resolve_shortest(const int64_t* starts, const int64_t* ends,
+                            const int64_t* vals, int64_t n, int64_t* out_s,
+                            int64_t* out_e, int64_t* out_v) {
+  int64_t cursor = 0, out = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (starts[i] >= cursor) {
+      out_s[out] = starts[i];
+      out_e[out] = cursor = ends[i];
+      out_v[out] = vals[i];
+      ++out;
+    }
+  }
+  return out;
+}
+
+// Fused END-indexed bitplane extraction + greedy resolve: candidates stream
+// straight from the device emit planes into the resolver, never
+// materialized (the numpy extract+lexsort path in ops/emit.py is the
+// adversarial-input bottleneck: 'aaaa' torture makes nearly every position
+// carry several candidate bits).
+//
+// bits: uint32[planes][stride], plane-major; logical text length n
+// (stride >= n; positions beyond n are padding and ignored).  Bit b of
+// plane p at position j => a keyword of length L = 32*p + b + 1 ends at
+// j+1 (starts at j+1-L).  Within a position, candidates must feed the
+// resolver longest-first (= start ascending at equal end), so planes and
+// bits are walked high-to-low.  mode: 0 = leftmost-longest
+// (SetMatchQueue.java:59-94), 1 = leftmost-shortest (min-end restart).
+// out_s/out_e must hold n+1 entries.  Values for the accepted spans are
+// recovered afterwards by re-walking the trie over just those spans
+// (ops/emit.py::walk_values) — acceptance never depends on values.
+int64_t ac_extract_resolve(const uint32_t* bits, int64_t planes,
+                           int64_t stride, int64_t n, int64_t max_depth,
+                           int mode, int64_t* out_s, int64_t* out_e) {
+  int64_t top = -1;    // longest-mode queue top
+  int64_t cursor = 0;  // shortest-mode restart cursor
+  int64_t out = 0;
+  for (int64_t j = 0; j < n; ++j) {
+    for (int64_t p = planes - 1; p >= 0; --p) {
+      uint32_t w = bits[p * stride + j];
+      while (w) {
+        int b = 31 - __builtin_clz(w);  // highest bit first: length desc
+        w &= ~(1u << b);
+        int64_t L = 32 * p + b + 1;
+        if (L > max_depth) continue;
+        int64_t s = j + 1 - L, e = j + 1;
+        if (mode == 1) {
+          if (s >= cursor) {
+            out_s[out] = s;
+            out_e[out] = cursor = e;
+            ++out;
+          }
+          continue;
+        }
+        int64_t q = top;  // SetMatchQueue push (ac_resolve_longest body)
+        while (q >= 0 && out_s[q] > s) --q;
+        if (q < 0) {
+          top = 0;
+        } else if (s >= out_e[q]) {
+          top = q + 1;
+        } else if (s == out_s[q] && e > out_e[q]) {
+          top = q;
+        } else {
+          continue;
+        }
+        out_s[top] = s;
+        out_e[top] = e;
+      }
+    }
+  }
+  return mode == 1 ? out : top + 1;
+}
+
 }  // extern "C"

@@ -82,6 +82,43 @@ def ac_matches(m: CompiledMatcher, cls: np.ndarray, bits: np.ndarray):
     return starts, ends, vals
 
 
+def resolve_end_planes(m: CompiledMatcher, cls: np.ndarray, bits: np.ndarray,
+                       mode: str):
+    """END-indexed emit planes -> resolved non-overlapping triples.
+
+    Fuses candidate extraction with the greedy resolver in native C when
+    available (``ac_extract_resolve``): candidates stream from the planes
+    straight into the SetMatchQueue (mode="longest") or min-end restart
+    (mode="shortest") automaton without being materialized — on adversarial
+    inputs (every position carrying several candidate bits) the numpy
+    extract+lexsort path below is the end-to-end bottleneck.  Values are
+    recovered afterwards over just the accepted spans (resolution never
+    depends on values).
+    """
+    bits = np.asarray(bits)
+    try:
+        from ahocorasick_tpu.native import lib as native_lib
+
+        native_ok = native_lib.available()
+    except Exception:
+        native_ok = False
+    if native_ok:
+        starts, ends = native_lib.extract_resolve(
+            bits, len(cls), m.max_depth, mode
+        )
+        if m.values is not None:
+            vals = walk_values(m, cls, starts, ends - starts)
+        else:
+            vals = np.full(len(starts), -1, dtype=np.int64)
+        return starts, ends, vals
+
+    from ahocorasick_tpu.ops import scan_batched
+    from ahocorasick_tpu.resolve.queue import resolve_longest, resolve_shortest
+
+    trip = scan_batched.ac_matches_batched(m, cls, bits)
+    return (resolve_longest if mode == "longest" else resolve_shortest)(*trip)
+
+
 def states_to_shortest_matches(m: CompiledMatcher, states: np.ndarray):
     """Arrival states -> shortest-match triples (already end-ascending)."""
     states = np.asarray(states)

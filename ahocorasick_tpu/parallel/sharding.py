@@ -488,6 +488,7 @@ class ShardedScanner:
             )
         self.matcher = matcher
         self.mesh = mesh if mesh is not None else data_mesh()
+        self._inner = None  # shortest: lazy scanner over the internal AC
 
     def count(self, text: str) -> int:
         cls = self.matcher._classes(text)
@@ -511,32 +512,27 @@ class ShardedScanner:
         m = self.matcher.compiled
         cls = self.matcher._classes(text)
         if m.kind == "shortest":
-            # Sequential-exact path: sigma-stitched arrival states on the
-            # restart-baked total DFA, matches extracted host-side.  The
-            # sigma pass carries all S entry-state lanes, so it is gated to
-            # small automata; beyond that the exact vectorized host cursor
-            # is faster than a pathological S-lane device scan.
-            from ahocorasick_tpu.models.matchers import _SIGMA_MAX_STATES
+            # Candidates-then-resolve: shard-scan the internal AC automaton
+            # over the insert-surviving keywords with the standard batched
+            # engines, then the exact min-end greedy resolve
+            # (resolve.queue.resolve_shortest).  Matchers without a keyword
+            # source (from_compiled artifacts) use the exact host cursor.
+            from ahocorasick_tpu.models.matchers import _device_capable
+            from ahocorasick_tpu.resolve.queue import resolve_shortest
 
-            if m.num_states > _SIGMA_MAX_STATES:
-                from ahocorasick_tpu.core.stream import make_cursor
+            ac = getattr(self.matcher, "_ac", None)
+            if ac is not None and _device_capable(ac.compiled, "ac", sharded=True):
+                if self._inner is None:
+                    self._inner = ShardedScanner(ac, self.mesh)
+                return resolve_shortest(*self._inner.match_triples(text))
+            from ahocorasick_tpu.core.stream import make_cursor
 
-                trip = make_cursor(m).feed(cls, is_final=True)
-                if not trip:
-                    z = np.zeros(0, dtype=np.int64)
-                    return z, z, z.copy()
-                a = np.asarray(trip, dtype=np.int64)
-                return a[:, 0], a[:, 1], a[:, 2]
-            if m.is_row_compressed:
-                rid_eff, rows = self.matcher.dev.rowdfa_shortest
-                states = sharded_arrival_states_rowtable(
-                    rid_eff, rows, cls, self.mesh
-                )
-            else:
-                states = sharded_arrival_states(
-                    self.matcher.dev.dfa_next_shortest, cls, self.mesh
-                )
-            return emit.states_to_shortest_matches(m, states)
+            trip = make_cursor(m).feed(cls, is_final=True)
+            if not trip:
+                z = np.zeros(0, dtype=np.int64)
+                return z, z, z.copy()
+            a = np.asarray(trip, dtype=np.int64)
+            return a[:, 0], a[:, 1], a[:, 2]
         if m.kind == "whole_word_longest":
             from ahocorasick_tpu.resolve.wholeword import follow_chain, word_starts
 
@@ -557,6 +553,9 @@ class ShardedScanner:
             bits = sharded_batched_planes(
                 pd.table, cls, pd.halo, pd.state_bits, planes, self.mesh
             )
+            if m.kind == "longest":
+                # Fused native extraction + SetMatchQueue resolve.
+                return emit.resolve_end_planes(m, cls, bits, "longest")
             triples = scan_batched.ac_matches_batched(m, cls, bits)
         else:
             bits = sharded_bitplanes(

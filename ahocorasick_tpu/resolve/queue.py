@@ -114,6 +114,62 @@ def resolve_longest(
     return resolve_longest_py(starts, ends, vals)
 
 
+def resolve_shortest(
+    starts: np.ndarray, ends: np.ndarray, vals: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Resolve a full AC candidate array to the reference's leftmost-SHORTEST
+    non-overlapping output (``ShortestMatchSet.java:182-260``).
+
+    Candidates must be sorted by ``(end asc, start asc)`` — the order
+    ``ops.emit.sort_by_end_start`` produces — and cover ALL keyword
+    occurrences.  Equivalence with the reference's lagged restart loop:
+    after a restart at cursor ``p``, the automaton walk detects a match at
+    the minimal end ``e`` having any occurrence with start >= p, and reports
+    the LONGEST such occurrence (the walk state is the longest suffix of
+    ``[p, e)`` that is a keyword prefix; its own/inherited match is the
+    longest complete-keyword suffix).  In (end asc, start asc) order, the
+    first candidate with ``start >= p`` is exactly that pick: minimal end
+    first, and at that end ascending start ranks longest first.  Restart
+    then sets ``p = e`` (the reference resumes at ``root.getTransition`` of
+    the char at ``e``).  Occurrences of keywords the reference prunes out of
+    its automaton (a prefix node carries an own/inherited match,
+    ``ShortestMatchSet.java:95-110``) can never be selected: the pruning
+    witness is itself a candidate ending strictly earlier with start >= the
+    pruned occurrence's start, so it always preempts.  Insert-time skipped
+    keywords (exact duplicates / match-prefixed) must be excluded BEFORE the
+    scan for map values to come out right — see
+    ``core.compiler.shortest_survivors``.
+    """
+    try:
+        from ahocorasick_tpu.native import lib as native_lib
+
+        if native_lib.available():
+            return native_lib.resolve_shortest(starts, ends, vals)
+    except Exception:
+        pass
+    return resolve_shortest_py(starts, ends, vals)
+
+
+def resolve_shortest_py(
+    starts: np.ndarray, ends: np.ndarray, vals: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pure-Python min-end greedy pass; parity oracle for the native one."""
+    n = len(starts)
+    out_s = np.empty(n, dtype=np.int64)
+    out_e = np.empty(n, dtype=np.int64)
+    out_v = np.empty(n, dtype=np.int64)
+    k = 0
+    p = 0  # restart cursor: matches may not start before it
+    for i in range(n):
+        s = int(starts[i])
+        if s >= p:
+            out_s[k] = s
+            out_e[k] = p = int(ends[i])
+            out_v[k] = int(vals[i])
+            k += 1
+    return out_s[:k], out_e[:k], out_v[:k]
+
+
 def resolve_longest_py(
     starts: np.ndarray, ends: np.ndarray, vals: np.ndarray
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -128,11 +128,24 @@ def test_full_node_device_engine_map_values():
     assert m.match(text) == [(i, i + 1, ord(ch)) for i, ch in enumerate(text)]
 
 
-def test_row_compressed_shortest_device_engine_rejected():
-    # SHORTEST's single-chip device path needs dense per-state tables; the
-    # row-compressed form stays on the (vectorized) host path.
-    with pytest.raises(ValueError, match="device path"):
-        ShortestMatchSet(FULL_KWS, engine="device")
+def test_row_compressed_shortest_device_engine(monkeypatch):
+    # SHORTEST rides the candidates-then-resolve path: its internal AC
+    # automaton over the (here: single-char) survivors has a packable
+    # quotient DFA, so even the full-alphabet extreme scans on device.
+    # (The production pick is the Pallas block kernel; its CPU interpret
+    # mode is far too slow for CI, so pin the XLA batched engine here —
+    # the block engine itself is pinned by test_block.py.)
+    from ahocorasick_tpu.ops import scan_rowdfa
+
+    monkeypatch.setattr(scan_rowdfa, "pick_engine", lambda m: "batched")
+    m = ShortestMatchSet(FULL_KWS, engine="device")
+    text = _text(800)
+    got = m.match(text)
+    assert m.last_stats.engine == "device"
+    gold = ShortestMatchSet(FULL_KWS, engine="gold").match(text)
+    assert got == gold
+    # Single-char keywords: every unit is its own non-overlapping match.
+    assert len(got) == len(text)
 
 
 def test_quotient_device_fuzz_vs_gold(monkeypatch):

@@ -152,3 +152,63 @@ def test_native_resolve_longest_parity_fuzz():
         got = native_lib.resolve_longest(starts, ends, vals)
         exp = resolve_longest_py(starts, ends, vals)
         assert [g.tolist() for g in got] == [e.tolist() for e in exp], trial
+
+
+def test_native_resolve_shortest_parity_fuzz():
+    """Native min-end resolver == Python oracle on random candidate streams."""
+    import numpy as np
+
+    from ahocorasick_tpu.native import lib as native_lib
+    from ahocorasick_tpu.resolve.queue import resolve_shortest_py
+
+    if not native_lib.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(14)
+    for trial in range(20):
+        n = int(rng.integers(0, 400))
+        ends = np.sort(rng.integers(1, 120, size=n)).astype(np.int64)
+        lens = rng.integers(1, 12, size=n).astype(np.int64)
+        starts = np.maximum(ends - lens, 0)
+        order = np.lexsort((starts, ends))
+        starts, ends = starts[order], ends[order]
+        vals = rng.integers(0, 50, size=n).astype(np.int64)
+        got = native_lib.resolve_shortest(starts, ends, vals)
+        exp = resolve_shortest_py(starts, ends, vals)
+        assert [g.tolist() for g in got] == [e.tolist() for e in exp], trial
+
+
+def test_native_extract_resolve_parity_fuzz():
+    """Fused bitplane extract+resolve == numpy extract + sort + Python
+    resolver, both modes, random multi-plane masks with padded strides."""
+    import numpy as np
+
+    from ahocorasick_tpu.native import lib as native_lib
+    from ahocorasick_tpu.ops.emit import sort_by_end_start
+    from ahocorasick_tpu.ops.scan_batched import end_planes_to_matches
+    from ahocorasick_tpu.resolve.queue import resolve_longest_py, resolve_shortest_py
+
+    if not native_lib.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(15)
+    for trial in range(25):
+        planes = int(rng.integers(1, 3))
+        n = int(rng.integers(0, 300))
+        stride = n + int(rng.integers(0, 8))
+        max_depth = int(rng.integers(1, planes * 32 + 1))
+        # sparse-ish random masks, occasionally dense (adversarial analog)
+        density = 0.9 if trial % 5 == 0 else 0.1
+        bits = (rng.random((planes, max(stride, 1))) < density).astype(np.uint32)
+        bits *= rng.integers(0, 1 << 16, size=bits.shape).astype(np.uint32)
+        starts, lens = end_planes_to_matches(bits, n, max_depth)
+        s, e, _ = sort_by_end_start(starts, lens)
+        v = np.full(len(s), -1, dtype=np.int64)
+        for mode, resolver in (("longest", resolve_longest_py),
+                               ("shortest", resolve_shortest_py)):
+            gs, ge = native_lib.extract_resolve(bits, n, max_depth, mode)
+            es, ee, _ = resolver(s, e, v)
+            assert gs.tolist() == es.tolist() and ge.tolist() == ee.tolist(), (
+                trial, mode)
