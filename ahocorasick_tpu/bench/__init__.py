@@ -63,12 +63,20 @@ def ac_kernel_rate(m, cls: np.ndarray, reps: int = 8, chunk: int = 512):
     else:
         d = max(c.max_depth, 1)
         if not scan_batched.inline_packable(c):
-            dfa_flat, emit_tab, halo = m.dev.split_dfa
-            planes = (d + 31) // 32
-            windows = scan_batched.chunk_classes(cls, chunk, halo)
-            count_fn = lambda t, w: scan_batched.split_count(
-                t, emit_tab, w, halo, c.num_classes, planes)
-            table, roll_axis = dfa_flat, 0
+            if scan_batched.count_packable(c):
+                which = "packedcount"
+                flat, cp_bits, halo = m.dev.count_packed_dfa
+                windows = scan_batched.chunk_classes(cls, chunk, halo)
+                count_fn = lambda t, w: scan_batched.packedcount_count(
+                    t, w, halo, cp_bits, c.num_classes)
+                table, roll_axis = flat, 0
+            else:
+                dfa_flat, emit_tab, halo = m.dev.split_dfa
+                planes = (d + 31) // 32
+                windows = scan_batched.chunk_classes(cls, chunk, halo)
+                count_fn = lambda t, w: scan_batched.split_count(
+                    t, emit_tab, w, halo, c.num_classes, planes)
+                table, roll_axis = dfa_flat, 0
         else:
             pd = m.dev.packed_dfa
             windows = scan_batched.chunk_classes(cls, chunk, pd.halo)

@@ -223,6 +223,21 @@ class _DeviceTables:
         return cache["split_dfa"]
 
     @property
+    def count_packed_dfa(self):
+        """Flat ``next | emit_count << state_bits`` table for count-style
+        scans of huge dictionaries (one gather per character where the split
+        path pays two; ``scan_batched.count_packable``; lazy)."""
+        cache = self.__dict__["_cache"]
+        if "count_packed_dfa" not in cache:
+            import jax.numpy as jnp
+
+            from ahocorasick_tpu.ops import scan_batched
+
+            flat, state_bits, halo = scan_batched.build_count_packed(self._m)
+            cache["count_packed_dfa"] = (jnp.asarray(flat), state_bits, halo)
+        return cache["count_packed_dfa"]
+
+    @property
     def block_dfa(self):
         """Flat VPU-lookup table for the Pallas block engine (v8; lazy)."""
         cache = self.__dict__["_cache"]

@@ -153,6 +153,69 @@ def build_packed(m: CompiledMatcher) -> PackedDfa:
     return PackedDfa(m.dfa_next.astype(np.uint32), planes, 32, halo)
 
 
+def count_packable(m: CompiledMatcher) -> bool:
+    """Count-packed layout applies: state bits + emit-COUNT bits fit 32.
+
+    Huge dictionaries with long keywords overflow the packed-inline layout
+    (state_bits + max_depth > 32) and pay two gathers per character on the
+    split path.  Counting does not need the per-length emit mask — only how
+    many keywords end at each position — and the per-state emit count is
+    tiny (suffix-chain length), so ``next | count << state_bits`` restores
+    the one-gather-per-character envelope for count-style scans.  The 1M-
+    keyword BASELINE config (4.37M states = 23 bits, counts <= 5) is the
+    motivating case.
+    """
+    if m.is_row_compressed or m.emit_count is None or m.dfa_next is None:
+        return False
+    state_bits = max(int(m.num_states - 1).bit_length(), 1)
+    cap = 32 - state_bits
+    if cap <= 0:
+        return False
+    return int(m.emit_count[: m.num_states].max(initial=0)) < (1 << cap)
+
+
+def build_count_packed(m: CompiledMatcher):
+    """uint32[S*A] flat: ``next | emit_count(next) << state_bits``."""
+    assert count_packable(m)
+    S, A = m.num_states, m.num_classes
+    state_bits = max(int(S - 1).bit_length(), 1)
+    counts = m.emit_count[:S].astype(np.uint32)
+    packed = m.dfa_next.astype(np.uint32) | (
+        counts[m.dfa_next] << np.uint32(state_bits)
+    )
+    return packed.reshape(S * A), state_bits, max(m.max_depth, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("halo", "state_bits", "num_classes"))
+def packedcount_count(
+    table_flat: jax.Array,  # uint32[S*A]: next | emit_count << state_bits
+    windows: jax.Array,  # int32[B, halo + C]
+    halo: int,
+    state_bits: int,
+    num_classes: int,
+) -> jax.Array:
+    """One flat gather per character; the emit count rides the packed entry."""
+    A = jnp.uint32(num_classes)
+    smask = jnp.uint32((1 << state_bits) - 1)
+    sb = jnp.uint32(state_bits)
+
+    def warm(s, c):
+        return table_flat[s * A + c.astype(jnp.uint32)] & smask, None
+
+    s0 = (windows[:, 0] * 0).astype(jnp.uint32)
+    s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
+
+    def step(carry, c):
+        s, tot = carry
+        v = table_flat[s * A + c.astype(jnp.uint32)]
+        tot = tot + jnp.sum((v >> sb).astype(jnp.int32))
+        return (v & smask, tot), None
+
+    tot0 = (windows[0, 0] * 0).astype(jnp.int32)
+    (_, total), _ = lax.scan(step, (s_h, tot0), windows[:, halo:].T)
+    return total
+
+
 def chunk_classes(cls: np.ndarray, chunk: int, halo: int) -> np.ndarray:
     """(B, halo + chunk) windows: chunk i covers [i*chunk, (i+1)*chunk) with a
     left halo (PAD_CLASS beyond the text; PAD resets lanes toward the root,

@@ -410,13 +410,23 @@ def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
     else:
         d = max(m.max_depth, 1)
         if not scan_batched.inline_packable(m):
-            dfa_flat, emit_tab, halo = matcher.dev.split_dfa
-            table = dfa_flat
-            planes = (d + 31) // 32
+            if scan_batched.count_packable(m):
+                # One gather per character: the emit COUNT rides the packed
+                # entry even when the per-length mask cannot.
+                table, cp_bits, halo = matcher.dev.count_packed_dfa
+                which = "packedcount"
 
-            def kernel(table, windows):
-                return scan_batched.split_count(
-                    table, emit_tab, windows, halo, m.num_classes, planes)
+                def kernel(table, windows):
+                    return scan_batched.packedcount_count(
+                        table, windows, halo, cp_bits, m.num_classes)
+            else:
+                dfa_flat, emit_tab, halo = matcher.dev.split_dfa
+                table = dfa_flat
+                planes = (d + 31) // 32
+
+                def kernel(table, windows):
+                    return scan_batched.split_count(
+                        table, emit_tab, windows, halo, m.num_classes, planes)
         else:
             pd = matcher.dev.packed_dfa
             halo, table = pd.halo, pd.table

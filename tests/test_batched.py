@@ -142,3 +142,53 @@ def test_whole_word_batched_vs_gold_fuzz():
         dev = WholeWordMatchMap(kws, vals, engine="device")
         gld = WholeWordMatchMap(kws, vals, engine="gold")
         assert dev.match(text) == gld.match(text), (trial, kws)
+
+
+def test_count_packed_matches_gold_on_long_keywords():
+    """Count-packed layout (state + emit COUNT in one entry): exact counts
+    for dictionaries whose packed-inline layout overflows (long keywords)."""
+    import numpy as np
+
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+    from ahocorasick_tpu.ops import scan_batched
+
+    rng = np.random.default_rng(20260820)
+    # Long keywords force state_bits + max_depth > 32 (the split regime).
+    kws = ["".join(rng.choice(list("ab"), size=int(rng.integers(30, 45))))
+           for _ in range(12)] + ["ab", "ba", "aab"]
+    m = AhoCorasickSet(kws)
+    assert not scan_batched.inline_packable(m.compiled)
+    assert scan_batched.count_packable(m.compiled)
+
+    text = "".join(rng.choice(list("ab"), size=5000))
+    # Plant some long keywords verbatim so deep emit counts are exercised.
+    text = text[:100] + kws[0] + text[100:800] + kws[1] + kws[0] + text[800:]
+
+    flat, state_bits, halo = m.dev.count_packed_dfa
+    cls = m._classes(text)
+    windows = scan_batched.chunk_classes(cls, 512, halo)
+    import jax.numpy as jnp
+
+    got = int(scan_batched.packedcount_count(
+        flat, jnp.asarray(windows), halo, state_bits, m.compiled.num_classes))
+    want = AhoCorasickSet(kws, engine="gold").count(text)
+    assert got == want and got > 0
+
+
+def test_count_packed_sharded_counter():
+    import jax
+    import numpy as np
+
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+    from ahocorasick_tpu.parallel import sharding
+
+    rng = np.random.default_rng(7)
+    kws = ["".join(rng.choice(list("abc"), size=int(rng.integers(33, 40))))
+           for _ in range(8)] + ["abc", "ca"]
+    m = AhoCorasickSet(kws)
+    text = "".join(rng.choice(list("abc"), size=4000)) + kws[0] + kws[-1]
+    mesh = sharding.data_mesh(jax.devices())
+    prepare, count, engine = sharding.make_sharded_counter(m, mesh)
+    assert engine == "packedcount"
+    got = int(count(prepare(m._classes(text))))
+    assert got == AhoCorasickSet(kws, engine="gold").count(text)

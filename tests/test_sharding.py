@@ -130,6 +130,11 @@ def test_make_sharded_counter_all_tiers():
         if label == "batched":
             text += "a" * 40 + " " + "ab" * 17
         prepare, count, engine = sharding.make_sharded_counter(m, mesh)
+        from ahocorasick_tpu.ops import scan_batched
+
+        if which == "batched" and scan_batched.count_packable(m.compiled) \
+                and not scan_batched.inline_packable(m.compiled):
+            which = "packedcount"  # count-only scans upgrade the split path
         assert engine == which
         total = int(count(prepare(m._classes(text))))
         assert total == len(gold.gold_match(m.compiled, text)), (label, engine)
