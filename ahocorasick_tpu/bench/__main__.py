@@ -58,11 +58,14 @@ def run_config(label: str, *, kind: str, is_map: bool, keywords: list,
             best = s
 
     kernel_gbps = None
-    if kind in ("ac", "longest", "whole_word") and engine == "device":
+    if kind in ("ac", "longest", "whole_word", "shortest") and engine == "device":
         from ahocorasick_tpu.bench import ac_kernel_rate
 
-        cls_arr = m._classes(text)
-        kernel_gbps, _, _ = ac_kernel_rate(m, cls_arr, reps=max(4, reps))
+        # Shortest rides its internal AC automaton over the insert-surviving
+        # keywords (candidates-then-resolve); that is the kernel to time.
+        target = m._ac if kind == "shortest" else m
+        cls_arr = target._classes(text)
+        kernel_gbps, _, _ = ac_kernel_rate(target, cls_arr, reps=max(4, reps))
     return {
         "config": label,
         "kind": kind,

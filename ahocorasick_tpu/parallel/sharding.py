@@ -352,6 +352,89 @@ def sharded_arrival_states_rowtable(
     return np.asarray(out).reshape(-1)[:n]
 
 
+def model_mesh(devices=None, axis: str = "model") -> Mesh:
+    return data_mesh(devices, axis)
+
+
+def sharded_table_count(
+    packed_table: np.ndarray,  # uint32[S, A] packed next | emit << state_bits
+    cls: np.ndarray,
+    halo: int,
+    state_bits: int,
+    mesh: Mesh,
+    chunk: int = 512,
+) -> int:
+    """State-sharded (TP-analog) packed-DFA count: the TABLE is sharded over
+    the mesh, the text replicated.
+
+    SURVEY §2.2 "Table sharding": only needed when the packed table exceeds
+    per-chip HBM (a ~30M-state dictionary at v5e's 16 GB).  Each device
+    holds a contiguous row slice; per character every device gathers rows
+    for the lanes whose state falls in its slice (others contribute the
+    identity 0) and one ``psum`` combines the full packed value — one
+    vector collective per character, so this trades ICI latency for HBM
+    capacity and is strictly slower than a replicated scan whenever the
+    table fits.  Data-parallel ``make_sharded_counter`` remains the fast
+    path; compose the two on a 2-D mesh by nesting this as the inner axis.
+    """
+    n_dev = int(mesh.devices.size)
+    axis = mesh.axis_names[0]
+    S, A = packed_table.shape
+    rows_per = -(-S // n_dev)
+    pad_rows = rows_per * n_dev - S
+    tab = np.pad(np.asarray(packed_table), ((0, pad_rows), (0, 0)))
+    from ahocorasick_tpu.ops import scan_batched
+
+    windows = jnp.asarray(scan_batched.chunk_classes(cls, chunk, halo))
+    smask = jnp.uint32((1 << state_bits) - 1)
+    sb = jnp.uint32(state_bits)
+
+    from jax.sharding import NamedSharding
+
+    tab_dev = jax.device_put(jnp.asarray(tab), NamedSharding(mesh, P(axis, None)))
+
+    @jax.jit
+    def run(tab, windows):
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(P(axis, None), P(None, None)),
+            out_specs=P(),
+        )
+        def body(tab_local, w):
+            lo = lax.axis_index(axis).astype(jnp.uint32) * jnp.uint32(rows_per)
+
+            def gather(s, c):
+                rel = s - lo
+                mine = rel < jnp.uint32(rows_per)
+                rel = jnp.where(mine, rel, 0)
+                rows = tab_local[rel]
+                iota = lax.broadcasted_iota(jnp.int32, (1, A), 1)
+                v = jnp.sum(
+                    jnp.where(iota == c[:, None], rows, jnp.uint32(0)), axis=1
+                )
+                v = jnp.where(mine, v, jnp.uint32(0))
+                return lax.psum(v, axis)
+
+            def warm(s, c):
+                return gather(s, c) & smask, None
+
+            s0 = (w[:, 0] * 0).astype(jnp.uint32)
+            s_h, _ = lax.scan(warm, s0, w[:, :halo].T)
+
+            def step(carry, c):
+                s, tot = carry
+                v = gather(s, c)
+                pop = lax.population_count(v >> sb)
+                return (v & smask, tot + jnp.sum(pop.astype(jnp.int32))), None
+
+            tot0 = (w[0, 0] * 0).astype(jnp.int32)
+            (_, total), _ = lax.scan(step, (s_h, tot0), w[:, halo:].T)
+            return total
+
+        return body(tab, windows)
+
+    return int(run(tab_dev, windows))
+
+
 def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
     """Best-engine data-parallel match counter over ``mesh``.
 

@@ -151,3 +151,31 @@ def test_make_sharded_counter_reps_scale_counts():
     one = int(count(x, reps=1))
     # rolled windows change emit positions but the total stays proportional
     assert int(count(x, reps=1)) == one
+
+
+def test_sharded_table_count_tp_analog():
+    """State-sharded (table-parallel) scan: table rows sharded over the
+    mesh, per-char psum combine — exact vs gold on the 8-device CPU mesh."""
+    import numpy as np
+
+    from ahocorasick_tpu.core import gold
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+    from ahocorasick_tpu.ops import scan_batched
+    from ahocorasick_tpu.parallel import sharding
+
+    rng = np.random.default_rng(20260820)
+    kws = list({
+        "".join(rng.choice(list("abcd"), size=int(rng.integers(1, 6))))
+        for _ in range(60)
+    })
+    m = AhoCorasickSet(kws)
+    pd = scan_batched.build_packed(m.compiled)
+    assert pd.emit_mask is None
+    text = "".join(rng.choice(list("abcdx"), size=3000))
+    cls = m._classes(text)
+    mesh = sharding.model_mesh()
+    got = sharding.sharded_table_count(
+        pd.table, cls, pd.halo, pd.state_bits, mesh
+    )
+    assert got == len(gold.gold_match(m.compiled, text))
+    assert got > 0
