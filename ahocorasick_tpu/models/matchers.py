@@ -554,13 +554,13 @@ class _PfacEngine(_Matcher):
                 dfa_flat, emit_tab, jnp.asarray(windows), halo,
                 m.num_classes, planes,
             )
-            return np.asarray(bits)
+            return bits  # device array: compaction/download decided later
         pd = self.dev.packed_dfa
         windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, pd.halo)
         bits = scan_batched.batched_emit_planes(
             pd.table, jnp.asarray(windows), pd.halo, pd.state_bits, 1
         )
-        return np.asarray(bits)
+        return bits
 
     def _planes_rowdfa(self, cls: np.ndarray):
         """Row-gather engines: stride-2 (v6) when the (s, c0)-indexed table
@@ -588,7 +588,7 @@ class _PfacEngine(_Matcher):
             )
             # Padded lanes (B rounded to G*1024 windows) trail the text; the
             # extractor trims to len(cls).
-            return np.asarray(bits)
+            return bits
         if which == "rowdfa2":
             rd = self.dev.row_dfa
             windows = scan_rowdfa.chunk_classes2(cls, _BATCH_CHUNK, rd.halo)
@@ -603,7 +603,7 @@ class _PfacEngine(_Matcher):
                 rd.table, jnp.asarray(windows), rd.halo, rd.state_bits,
                 rd.num_classes,
             )
-        return np.asarray(bits)
+        return bits
 
     def _planes_batched2(self, cls: np.ndarray):
         import jax.numpy as jnp
@@ -620,7 +620,7 @@ class _PfacEngine(_Matcher):
             p2.table, jnp.asarray(windows), p2.halo, p2.state_bits,
             p2.num_classes, (d + 31) // 32,
         )
-        return np.asarray(bits)
+        return bits
 
     def _candidates_pfac2(self, cls: np.ndarray):
         import jax.numpy as jnp

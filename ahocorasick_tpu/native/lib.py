@@ -67,6 +67,10 @@ def _load():
     lib.ac_extract_resolve.argtypes = [u32p, ctypes.c_int64, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_int64,
                                        ctypes.c_int, i64p, i64p]
+    lib.ac_extract_resolve_sparse.restype = ctypes.c_int64
+    lib.ac_extract_resolve_sparse.argtypes = [i64p, u32p, ctypes.c_int64,
+                                              ctypes.c_int64, ctypes.c_int64,
+                                              ctypes.c_int, i64p, i64p]
     _lib = lib
     return _lib
 
@@ -216,6 +220,29 @@ def resolve_shortest(starts, ends, vals):
         _ptr(out_v, i64),
     )
     return out_s[:k], out_e[:k], out_v[:k]
+
+
+def extract_resolve_sparse(idx: np.ndarray, masks: np.ndarray, n: int,
+                           max_depth: int, mode: str):
+    """Sparse fused extraction + greedy resolve over (position, masks) pairs
+    from device-side plane compaction.  ``idx`` ascending hot positions,
+    ``masks`` hot-major uint32[n_hot, planes]; returns accepted (s, e)."""
+    lib = _load()
+    assert lib, "native library unavailable"
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    masks = np.ascontiguousarray(masks, dtype=np.uint32)
+    n_hot, planes = masks.shape
+    assert len(idx) == n_hot
+    cap = min(n, n_hot * planes * 32) + 1
+    out_s = np.empty(cap, dtype=np.int64)
+    out_e = np.empty(cap, dtype=np.int64)
+    i64 = ctypes.c_int64
+    k = lib.ac_extract_resolve_sparse(
+        _ptr(idx, i64), _ptr(masks, ctypes.c_uint32), i64(n_hot), i64(planes),
+        i64(max_depth), ctypes.c_int(0 if mode == "longest" else 1),
+        _ptr(out_s, i64), _ptr(out_e, i64),
+    )
+    return out_s[:k], out_e[:k]
 
 
 def extract_resolve(bits: np.ndarray, n: int, max_depth: int, mode: str):

@@ -496,6 +496,54 @@ int64_t ac_resolve_shortest(const int64_t* starts, const int64_t* ends,
 // out_s/out_e must hold n+1 entries.  Values for the accepted spans are
 // recovered afterwards by re-walking the trie over just those spans
 // (ops/emit.py::walk_values) — acceptance never depends on values.
+// Sparse variant: candidates come as (position, plane-masks) pairs for the
+// hot positions only (device-side compaction strips the zero positions
+// before download).  idx must be ascending; masks is hot-major
+// uint32[n_hot][planes].  Same streaming resolve as ac_extract_resolve.
+int64_t ac_extract_resolve_sparse(const int64_t* idx, const uint32_t* masks,
+                                  int64_t n_hot, int64_t planes,
+                                  int64_t max_depth, int mode, int64_t* out_s,
+                                  int64_t* out_e) {
+  int64_t top = -1;
+  int64_t cursor = 0;
+  int64_t out = 0;
+  for (int64_t h = 0; h < n_hot; ++h) {
+    int64_t j = idx[h];
+    for (int64_t p = planes - 1; p >= 0; --p) {
+      uint32_t w = masks[h * planes + p];
+      while (w) {
+        int b = 31 - __builtin_clz(w);
+        w &= ~(1u << b);
+        int64_t L = 32 * p + b + 1;
+        if (L > max_depth) continue;
+        int64_t s = j + 1 - L, e = j + 1;
+        if (mode == 1) {
+          if (s >= cursor) {
+            out_s[out] = s;
+            out_e[out] = cursor = e;
+            ++out;
+          }
+          continue;
+        }
+        int64_t q = top;
+        while (q >= 0 && out_s[q] > s) --q;
+        if (q < 0) {
+          top = 0;
+        } else if (s >= out_e[q]) {
+          top = q + 1;
+        } else if (s == out_s[q] && e > out_e[q]) {
+          top = q;
+        } else {
+          continue;
+        }
+        out_s[top] = s;
+        out_e[top] = e;
+      }
+    }
+  }
+  return mode == 1 ? out : top + 1;
+}
+
 int64_t ac_extract_resolve(const uint32_t* bits, int64_t planes,
                            int64_t stride, int64_t n, int64_t max_depth,
                            int mode, int64_t* out_s, int64_t* out_e) {

@@ -95,7 +95,8 @@ def resolve_end_planes(m: CompiledMatcher, cls: np.ndarray, bits: np.ndarray,
     recovered afterwards over just the accepted spans (resolution never
     depends on values).
     """
-    bits = np.asarray(bits)
+    from ahocorasick_tpu.ops import scan_batched
+
     try:
         from ahocorasick_tpu.native import lib as native_lib
 
@@ -103,16 +104,25 @@ def resolve_end_planes(m: CompiledMatcher, cls: np.ndarray, bits: np.ndarray,
     except Exception:
         native_ok = False
     if native_ok:
-        starts, ends = native_lib.extract_resolve(
-            bits, len(cls), m.max_depth, mode
-        )
+        # Device-side hot-position compaction first: only (idx, masks) for
+        # positions with any emit bit cross the host link (match-sparse
+        # texts shrink the download by >10x); dense/adversarial inputs fall
+        # back to the full-plane download.
+        sp = scan_batched.planes_to_sparse(bits, len(cls))
+        if sp is not None:
+            starts, ends = native_lib.extract_resolve_sparse(
+                sp[0], sp[1], len(cls), m.max_depth, mode
+            )
+        else:
+            starts, ends = native_lib.extract_resolve(
+                np.asarray(bits), len(cls), m.max_depth, mode
+            )
         if m.values is not None:
             vals = walk_values(m, cls, starts, ends - starts)
         else:
             vals = np.full(len(starts), -1, dtype=np.int64)
         return starts, ends, vals
 
-    from ahocorasick_tpu.ops import scan_batched
     from ahocorasick_tpu.resolve.queue import resolve_longest, resolve_shortest
 
     trip = scan_batched.ac_matches_batched(m, cls, bits)

@@ -358,6 +358,79 @@ def split_count(
     return total
 
 
+_SPARSE_MIN_UNITS = 1 << 16
+
+
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_planes(bits: jax.Array, cap: int):
+    """Device-side hot-position compaction of END-indexed emit planes.
+
+    Returns ``(count, idx[cap], masks[cap, P])``: ascending positions with
+    any emit bit, padded with N past ``count``.  Downloading (idx, masks)
+    for the hot positions replaces the dense 4·P bytes/position plane
+    download — on match-sparse text (the normal case: a few % of positions
+    end a keyword) this shrinks device->host traffic by an order of
+    magnitude, which dominates end-to-end extraction time over PCIe and
+    especially over the axon tunnel.
+    """
+    N = bits.shape[1]
+    any_ = (bits != 0).any(axis=0)
+    cnt = jnp.sum(any_.astype(jnp.int32))
+    idx = jnp.nonzero(any_, size=cap, fill_value=N)[0]
+    safe = jnp.minimum(idx, N - 1)
+    masks = bits[:, safe].T
+    masks = jnp.where((idx < N)[:, None], masks, jnp.uint32(0))
+    return cnt, idx, masks
+
+
+def planes_to_sparse(bits, n: int):
+    """Device END-planes -> host ``(idx, masks)`` for hot positions only, or
+    None when a dense download is the better deal (small inputs, numpy
+    input, or adversarial match density where most positions are hot)."""
+    if not isinstance(bits, jax.Array) or n < _SPARSE_MIN_UNITS:
+        return None
+    N = int(bits.shape[1])
+    cap = max(1024, 1 << max(n // 16, 1).bit_length())
+    while True:
+        cap_eff = min(cap, N)
+        cnt, idx, masks = _compact_planes(bits, cap=cap_eff)
+        cnt = int(cnt)  # syncs the scalar only; idx/masks stay on device
+        if cnt > n // 4:
+            return None  # dense download is cheaper
+        if cnt <= cap_eff:
+            idx = np.asarray(idx)[:cnt].astype(np.int64)
+            masks = np.asarray(masks)[:cnt]
+            keep = idx < n  # padded window lanes trail the text
+            return idx[keep], masks[keep]
+        cap = 1 << (cnt - 1).bit_length()
+
+
+def sparse_planes_to_matches(idx: np.ndarray, masks: np.ndarray, max_depth: int):
+    """(hot positions, hot-major masks) -> (starts, lens), unsorted segments
+    in the same per-length grouping as ``end_planes_to_matches``."""
+    if not len(idx):
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    planes = masks.shape[1]
+    starts_l, seg_lens, seg_counts = [], [], []
+    for p in range(planes):
+        w = masks[:, p]
+        if not w.any():
+            continue
+        for b in range(32):
+            L = 32 * p + b + 1
+            if L > max_depth:
+                break
+            rows = np.nonzero(w & np.uint32(1 << b))[0]
+            if len(rows):
+                starts_l.append(idx[rows] + 1 - L)
+                seg_lens.append(L)
+                seg_counts.append(len(rows))
+    if not starts_l:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    lens = np.repeat(np.asarray(seg_lens, dtype=np.int64), seg_counts)
+    return np.concatenate(starts_l), lens
+
+
 def end_planes_to_matches(bits: np.ndarray, n: int, max_depth: int):
     """END-indexed planes -> (starts, lens): bit L-1 at position j = match of
     length L ending at j+1 (start j+1-L).
@@ -390,11 +463,19 @@ def end_planes_to_matches(bits: np.ndarray, n: int, max_depth: int):
     return np.concatenate(starts_l), lens
 
 
-def ac_matches_batched(m: CompiledMatcher, cls: np.ndarray, bits: np.ndarray):
-    """(starts, ends, vals) in reference emission order from end-planes."""
+def ac_matches_batched(m: CompiledMatcher, cls: np.ndarray, bits):
+    """(starts, ends, vals) in reference emission order from end-planes.
+
+    ``bits`` may be the device array straight from an engine (preferred —
+    hot positions are compacted on device and only they are downloaded) or
+    a host numpy array (dense path)."""
     from ahocorasick_tpu.ops import emit as emit_mod
 
-    starts, lens = end_planes_to_matches(bits, len(cls), m.max_depth)
+    sp = planes_to_sparse(bits, len(cls))
+    if sp is not None:
+        starts, lens = sparse_planes_to_matches(sp[0], sp[1], m.max_depth)
+    else:
+        starts, lens = end_planes_to_matches(np.asarray(bits), len(cls), m.max_depth)
     starts, ends, _ = emit_mod.sort_by_end_start(starts, lens)
     lens = ends - starts
     if m.values is not None:

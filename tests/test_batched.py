@@ -192,3 +192,56 @@ def test_count_packed_sharded_counter():
     assert engine == "packedcount"
     got = int(count(prepare(m._classes(text))))
     assert got == AhoCorasickSet(kws, engine="gold").count(text)
+
+
+def test_sparse_plane_compaction_matches_dense():
+    """Device-side hot-position compaction: sparse download path produces
+    identical triples to the dense path for AC, longest, and shortest."""
+    import numpy as np
+
+    from ahocorasick_tpu.models import matchers
+    from ahocorasick_tpu.ops import scan_batched
+
+    rng = np.random.default_rng(20260821)
+    kws = ["he", "she", "hers", "aba", "bab"]
+    text = "".join(rng.choice(list("herab sx"), size=70000))
+    old = scan_batched._SPARSE_MIN_UNITS
+    try:
+        for kind, cls_m in [("ac", matchers.AhoCorasickSet),
+                            ("longest", matchers.LongestMatchSet),
+                            ("shortest", matchers.ShortestMatchSet)]:
+            m = cls_m(kws, engine="device")
+            scan_batched._SPARSE_MIN_UNITS = 1 << 62  # dense path
+            dense = m.match(text)
+            scan_batched._SPARSE_MIN_UNITS = 1  # sparse path
+            sparse = m.match(text)
+            assert sparse == dense, kind
+            assert len(dense) > 0
+    finally:
+        scan_batched._SPARSE_MIN_UNITS = old
+
+
+def test_sparse_compaction_overflow_capacity_growth():
+    """First-guess capacity overflow grows the bucket and stays exact."""
+    import numpy as np
+
+    from ahocorasick_tpu.models import matchers
+    from ahocorasick_tpu.ops import scan_batched
+
+    # Every position matches ('a' dictionary over 'aaaa' text) but density
+    # <= n/4 fails -> planes_to_sparse returns None (dense fallback).  Mix:
+    # a text where ~10% of positions are hot but the initial n//16 guess
+    # overflows.
+    rng = np.random.default_rng(3)
+    parts = []
+    for _ in range(7000):
+        parts.append("ab" if rng.random() < 0.1 else "xy")
+    text = "".join(parts)
+    m = matchers.AhoCorasickSet(["ab"], engine="device")
+    old = scan_batched._SPARSE_MIN_UNITS
+    try:
+        scan_batched._SPARSE_MIN_UNITS = 1
+        got = m.count(text)
+    finally:
+        scan_batched._SPARSE_MIN_UNITS = old
+    assert got == text.count("ab")
