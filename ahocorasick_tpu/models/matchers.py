@@ -653,6 +653,79 @@ class AhoCorasickSet(_PfacEngine):
     def _device_triples(self, cls):
         return self._candidates(cls)
 
+    def count(self, text: str) -> int:
+        """Total match count (the reference's empty-listener benchmark).
+
+        AC semantics need no resolution, so the device path runs the picked
+        engine's fused COUNT kernel — popcount-summed on device, one scalar
+        downloaded, no extraction — instead of materializing every triple.
+        The other kinds keep counting via resolved triples.
+        """
+        from ahocorasick_tpu.utils.stats import ScanStats, timed
+
+        cls = self._classes(text)
+        engine = self._pick_engine(len(cls))
+        if engine != "device" or self.device_engine not in ("rowdfa", "batched"):
+            return super().count(text)
+        self.last_stats = ScanStats(units=len(cls), engine=engine, kind=self.kind)
+        with timed(self.last_stats):
+            n = int(self._device_count(cls))
+        self.last_stats.matches = n
+        return n
+
+    def _device_count(self, cls: np.ndarray):
+        import jax.numpy as jnp
+
+        from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
+
+        m = self.compiled
+        which = scan_rowdfa.pick_engine(m)
+        if which == "block":
+            from ahocorasick_tpu.kernels import scan_block
+
+            bd = self.dev.block_dfa
+            windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, bd.halo)
+            W = windows.shape[1]
+            wt = jnp.asarray(scan_block.regroup_windows(windows))
+            G = wt.shape[0] // (W * 8)
+            return scan_block.block_count(
+                bd.table, wt, bd.halo, bd.state_bits, bd.num_classes,
+                bd.num_blocks, W, G,
+            )
+        if which == "rowdfa2":
+            rd = self.dev.row_dfa
+            windows = scan_rowdfa.chunk_classes2(cls, _BATCH_CHUNK, rd.halo)
+            return scan_rowdfa.rowdfa_count(
+                rd.table, jnp.asarray(windows), rd.halo, rd.state_bits,
+                rd.num_classes,
+            )
+        if which == "rowdfa1":
+            rd = self.dev.row_dfa1
+            windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, rd.halo)
+            return scan_rowdfa.rowdfa1_count(
+                rd.table, jnp.asarray(windows), rd.halo, rd.state_bits,
+                rd.num_classes,
+            )
+        if not scan_batched.inline_packable(m):
+            if scan_batched.count_packable(m):
+                flat, cp_bits, halo = self.dev.count_packed_dfa
+                windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, halo)
+                return scan_batched.packedcount_count(
+                    flat, jnp.asarray(windows), halo, cp_bits, m.num_classes
+                )
+            dfa_flat, emit_tab, halo = self.dev.split_dfa
+            d = max(m.max_depth, 1)
+            windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, halo)
+            return scan_batched.split_count(
+                dfa_flat, emit_tab, jnp.asarray(windows), halo,
+                m.num_classes, (d + 31) // 32,
+            )
+        pd = self.dev.packed_dfa
+        windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, pd.halo)
+        return scan_batched.batched_count(
+            pd.table, jnp.asarray(windows), pd.halo, pd.state_bits
+        )
+
 
 class AhoCorasickMap(AhoCorasickSet):
     kind = AC

@@ -135,3 +135,31 @@ def test_whole_word_custom_chars_device():
 def test_count_matches_len():
     m = act.LongestMatchSet(["ab", "abc"], True, engine="device")
     assert m.count("abcab") == 2
+
+
+def test_ac_count_fused_device_kernel():
+    """AhoCorasick count() rides the fused device count kernel (no triple
+    extraction) and agrees with the gold loop across engine tiers."""
+    import numpy as np
+
+    from ahocorasick_tpu.core import gold
+    from ahocorasick_tpu.models.matchers import AhoCorasickMap, AhoCorasickSet
+
+    rng = np.random.default_rng(99)
+    big_enough = "".join(rng.choice(list("hers abx"), size=1 << 15))
+    cases = [
+        ["he", "she", "hers"],                                # block tier
+        ["a" * 35, "ab", "ba"],                               # count-packed tier
+        list({"".join(rng.choice(list("abcdefgh"),
+                                 size=int(rng.integers(3, 9))))
+              for _ in range(900)}),                          # row tier
+    ]
+    for kws in cases:
+        m = AhoCorasickSet(kws)
+        got = m.count(big_enough)
+        assert m.last_stats.engine == "device"
+        assert got == len(gold.gold_match(m.compiled, big_enough))
+    # map variant shares the path
+    mm = AhoCorasickMap(["he", "she"], [1, 2])
+    assert mm.count(big_enough) == AhoCorasickSet(["he", "she"],
+                                                  engine="gold").count(big_enough)
