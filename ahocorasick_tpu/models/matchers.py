@@ -829,6 +829,10 @@ class ShortestMatchSet(_Matcher):
         return cls if self._cls_map is None else self._cls_map[cls]
 
     def _pick_engine(self, n_units: int) -> str:
+        if self.engine == "gold":
+            return "gold"  # never build the internal AC for gold matchers
+        if self.engine == "auto" and n_units < _AUTO_DEVICE_MIN_UNITS:
+            return "gold"  # small input: skip the second compile too
         ac = self._ac
         if ac is None:
             if self.compiled.is_row_compressed:
@@ -836,9 +840,7 @@ class ShortestMatchSet(_Matcher):
             return super()._pick_engine(n_units)
         if not _device_capable(ac.compiled, AC):
             return "gold"
-        if self.engine != "auto":
-            return self.engine
-        return "device" if n_units >= _AUTO_DEVICE_MIN_UNITS else "gold"
+        return "device"
 
     def _device_triples(self, cls):
         ac = self._ac

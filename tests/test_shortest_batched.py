@@ -164,3 +164,14 @@ def test_engine_device_large_text_auto_pick():
     got = m.match(text)
     assert m.last_stats.engine == "device"
     assert got == _gold(kws, text)
+
+
+def test_gold_engine_never_builds_internal_ac():
+    """engine='gold' (and small auto inputs) must not pay the second
+    compile for the internal AC automaton."""
+    m = ShortestMatchSet(["ab", "bc"], engine="gold")
+    m.match("xabcx")
+    assert m._ac_cache is None
+    m2 = ShortestMatchSet(["ab", "bc"])  # auto
+    m2.match("xabcx")  # small input -> gold path
+    assert m2._ac_cache is None
