@@ -213,7 +213,11 @@ def compare_results(path_a: str, path_b: str) -> int:
     units); each shared numeric metric prints a delta and ratio.  Exit
     status 1 if any throughput metric regressed by more than 5%.
     """
-    _IDENT = ("config", "kind", "map", "engine", "keywords", "units", "devices")
+    # "engine" is deliberately NOT part of record identity: records must
+    # pair up across commits even when the engine pick changed (that change
+    # is often the very thing being A/B'd; the picked engine still shows in
+    # each record's own fields).
+    _IDENT = ("config", "kind", "map", "keywords", "units", "devices")
     _HIGHER_IS_BETTER = ("gbps", "kernel_gbps", "matches_per_sec", "efficiency_vs_1")
     _LOWER_IS_BETTER = ("scan_s", "compile_s")
 
@@ -225,7 +229,7 @@ def compare_results(path_a: str, path_b: str) -> int:
                 if not line or not line.startswith("{"):
                     continue
                 r = json.loads(line)
-                key = tuple((k, r[k]) for k in _IDENT if k in r and k != "engine")
+                key = tuple((k, r[k]) for k in _IDENT if k in r)
                 recs[key] = r
         return recs
 

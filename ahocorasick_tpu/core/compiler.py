@@ -242,7 +242,12 @@ def compile_matcher(
         raise ValueError(f"unknown matcher kind {kind!r}")
     if backend not in ("auto", "python", "native"):
         raise ValueError(f"unknown backend {backend!r}")
-    if thresholder is not None and backend == "auto":
+    if thresholder is not None:
+        if backend == "native":
+            raise ValueError(
+                "backend='native' always builds dense tables and cannot "
+                "honor a custom thresholder; use backend='auto' or 'python'"
+            )
         backend = "python"
     if backend != "python" and kind in (AC, LONGEST, SHORTEST):
         try:

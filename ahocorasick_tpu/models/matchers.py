@@ -47,7 +47,7 @@ from ahocorasick_tpu.resolve.wholeword import follow_chain, word_starts
 from ahocorasick_tpu.utils import chartables
 
 
-def _device_capable(compiled: CompiledMatcher, kind: str, *, sharded: bool = False) -> bool:
+def _device_capable(compiled: CompiledMatcher, kind: str) -> bool:
     """Does this compiled matcher have a device scan path?
 
     Dense matchers: always (packed or split layout).  Row-compressed
@@ -251,31 +251,6 @@ class _DeviceTables:
         return cache["block_dfa"]
 
     @property
-    def rowdfa_shortest(self):
-        """Two-level shortest transition ``(row_id_eff, rows)`` for
-        row-compressed matchers: ``rows[row_id_eff[s], c]`` is the
-        restart-baked total DFA step (match states take the root's row —
-        cf. ``dfa_next_shortest``) without materializing dense S x A."""
-        cache = self.__dict__["_cache"]
-        if "rowdfa_shortest" not in cache:
-            import jax.numpy as jnp
-
-            m = self._m
-            rt = m.dfa_next
-            # Compiler invariant (asserted by scan_batched.build_packed too):
-            # the root's row is row id 0, so mapping match states to row 0
-            # bakes the restart-at-root into the table.
-            assert int(rt.row_id[0]) == 0, "root must own row id 0"
-            row_id_eff = np.where(
-                m.match_len[: m.num_states] > 0, 0, rt.row_id
-            ).astype(np.int32)
-            cache["rowdfa_shortest"] = (
-                jnp.asarray(row_id_eff),
-                jnp.asarray(rt.rows),
-            )
-        return cache["rowdfa_shortest"]
-
-    @property
     def packed_dfa(self):
         """Packed goto-closure DFA for the batched-halo v4 engine (lazy)."""
         cache = self.__dict__["_cache"]
@@ -467,6 +442,15 @@ class _Matcher:
             raise ValueError(
                 "row-compressed artifact has no device path for this kind; "
                 "use engine='auto' or 'gold'"
+            )
+        if engine == "device" and cls.kind == SHORTEST and compiled.is_row_compressed:
+            # _device_capable answers True for SHORTEST by delegating to the
+            # internal AC automaton — which an artifact cannot rebuild (no
+            # keyword source), so only the host cursor path remains.
+            raise ValueError(
+                "row-compressed shortest artifact has no device path (no "
+                "keyword source for the internal AC automaton); use "
+                "engine='auto' or 'gold'"
             )
         self = cls.__new__(cls)
         self.engine = engine

@@ -398,8 +398,13 @@ def planes_to_sparse(bits, n: int):
         if cnt > n // 4:
             return None  # dense download is cheaper
         if cnt <= cap_eff:
-            idx = np.asarray(idx)[:cnt].astype(np.int64)
-            masks = np.asarray(masks)[:cnt]
+            # Slice on device before downloading: only ~cnt hot entries cross
+            # the link, not the cap-sized buffers.  Rounding the slice up to
+            # a power of two keeps the set of distinct slice shapes (= XLA
+            # programs) logarithmic.
+            k = min(cap_eff, 1 << max(cnt - 1, 0).bit_length())
+            idx = np.asarray(idx[:k])[:cnt].astype(np.int64)
+            masks = np.asarray(masks[:k])[:cnt]
             keep = idx < n  # padded window lanes trail the text
             return idx[keep], masks[keep]
         cap = 1 << (cnt - 1).bit_length()

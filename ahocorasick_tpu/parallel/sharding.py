@@ -303,55 +303,6 @@ def sharded_arrival_states(
     return np.asarray(out).reshape(-1)[:n]
 
 
-def sharded_arrival_states_rowtable(
-    row_id: jax.Array,  # int32[S] state -> row class (restart baked in)
-    rows: jax.Array,  # int32[R, A] distinct transition rows
-    cls: np.ndarray,
-    mesh: Mesh,
-) -> np.ndarray:
-    """``sharded_arrival_states`` for row-compressed matchers: the step is
-    the two-level gather ``rows[row_id[s], c]`` so the dense S x A table is
-    never materialized (wide-alphabet dictionaries, testFullNode scale)."""
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
-    n = len(cls)
-    chunk = -(-max(n, 1) // n_dev)
-    cls_p = np.pad(cls, (0, chunk * n_dev - n), constant_values=0)
-    S = row_id.shape[0]
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(None), P(None, None), P(axis)),
-        out_specs=P(axis),
-    )
-    def run(rid, rws, cls_local):
-        def step_sigma(v, c):
-            return rws[rid[v], c], None
-
-        v0 = lax.pcast(jnp.arange(S, dtype=jnp.int32), (axis,), to="varying")
-        sigma, _ = lax.scan(step_sigma, v0, cls_local[0])
-        sigmas = lax.all_gather(sigma, axis)
-        idx = lax.axis_index(axis)
-
-        def fold(j, s):
-            return jnp.where(j < idx, sigmas[j, s], s)
-
-        entry = lax.fori_loop(
-            0, n_dev, fold, lax.pcast(jnp.int32(0), (axis,), to="varying")
-        )
-
-        def step(s, c):
-            s2 = rws[rid[s], c]
-            return s2, s2
-
-        _, states = lax.scan(step, entry, cls_local[0])
-        return states[None]
-
-    out = run(row_id, rows, jnp.asarray(cls_p.astype(np.int32)).reshape(n_dev, chunk))
-    return np.asarray(out).reshape(-1)[:n]
-
-
 def model_mesh(devices=None, axis: str = "model") -> Mesh:
     return data_mesh(devices, axis)
 
@@ -572,7 +523,7 @@ class ShardedScanner:
         from ahocorasick_tpu.models.matchers import _device_capable
 
         m = matcher.compiled
-        if not _device_capable(m, m.kind, sharded=True):
+        if not _device_capable(m, m.kind):
             raise ValueError(
                 "row-compressed (wide-alphabet) matcher has no sharded "
                 "device path for this kind; scan on the host path "
@@ -614,7 +565,7 @@ class ShardedScanner:
             from ahocorasick_tpu.resolve.queue import resolve_shortest
 
             ac = getattr(self.matcher, "_ac", None)
-            if ac is not None and _device_capable(ac.compiled, "ac", sharded=True):
+            if ac is not None and _device_capable(ac.compiled, "ac"):
                 if self._inner is None:
                     self._inner = ShardedScanner(ac, self.mesh)
                 return resolve_shortest(*self._inner.match_triples(text))

@@ -104,3 +104,23 @@ def test_state_dict_is_json_safe():
     s2 = m.stream()
     s2.load_state_dict(d)
     assert s2.feed("rsx", is_final=True) == [(2, 6, 2)]  # "hers" -> value 2
+
+
+def test_row_compressed_shortest_artifact_rejects_device():
+    # A row-compressed SHORTEST artifact has no keyword source to rebuild
+    # the internal AC automaton, so engine='device' must fail loudly
+    # instead of silently running the host path.
+    from ahocorasick_tpu.models.matchers import ShortestMatchSet
+    from ahocorasick_tpu.utils.thresholds import Thresholder
+
+    class _AlwaysSparse(Thresholder):
+        def is_over_threshold(self, node_size, node_level, key_interval_size):
+            return False
+
+    m = ShortestMatchSet(["ab", "cd"], thresholder=_AlwaysSparse())
+    assert m.compiled.is_row_compressed
+    with pytest.raises(ValueError, match="no device path"):
+        ShortestMatchSet.from_compiled(m.compiled, engine="device")
+    # auto still works (host cursor path), and semantics are unchanged.
+    m2 = ShortestMatchSet.from_compiled(m.compiled)
+    assert m2.match("zabcd") == [(1, 3), (3, 5)]

@@ -108,3 +108,15 @@ def test_dense_table_budget_policy():
     t = DenseTableBudget(max_entries=1000)
     assert t.is_over_threshold(5, 0, 1000)
     assert not t.is_over_threshold(5, 0, 1001)
+
+
+def test_native_backend_rejects_custom_thresholder():
+    # backend='native' always builds dense tables; silently dropping the
+    # policy would violate the documented layout contract.
+    import pytest
+
+    from ahocorasick_tpu.core.compiler import compile_matcher
+
+    with pytest.raises(ValueError, match="thresholder"):
+        compile_matcher(["he", "she"], "ac", True, backend="native",
+                        thresholder=_AlwaysSparse())
