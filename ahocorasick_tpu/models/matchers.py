@@ -511,83 +511,26 @@ class _PfacEngine(_Matcher):
 
     def _end_planes(self, cls: np.ndarray):
         """END-indexed emit planes ``uint32[P, >=len(cls)]`` from the picked
-        engine, or None when the configured engine is not plane-producing
-        (the pfac2 cross-check walk emits START-indexed planes)."""
+        engine (``ops.dispatch.planes_plan``), or None when the configured
+        engine is not plane-producing (the pfac2 cross-check walk emits
+        START-indexed planes)."""
         if self.device_engine == "pfac2" or len(cls) == 0:
             return None
         if self.device_engine == "batched2":
             return self._planes_batched2(cls)
-        if self.device_engine == "rowdfa":
-            return self._planes_rowdfa(cls)
-        return self._planes_batched(cls)
+        return self._planes_auto(cls)
 
-    def _planes_batched(self, cls: np.ndarray):
+    def _planes_auto(self, cls: np.ndarray, force_batched: bool = None):
         import jax.numpy as jnp
 
-        from ahocorasick_tpu.ops import scan_batched
+        from ahocorasick_tpu.ops import dispatch, scan_batched
 
-        m = self.compiled
-        d = max(m.max_depth, 1)
-        if not scan_batched.inline_packable(m):
-            # Packed layout overflows (huge dictionary with long keywords):
-            # split path — one next-state gather + P emit gathers per char.
-            dfa_flat, emit_tab, halo = self.dev.split_dfa
-            planes = (d + 31) // 32
-            windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, halo)
-            bits = scan_batched.split_emit_planes(
-                dfa_flat, emit_tab, jnp.asarray(windows), halo,
-                m.num_classes, planes,
-            )
-            return bits  # device array: compaction/download decided later
-        pd = self.dev.packed_dfa
-        windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, pd.halo)
-        bits = scan_batched.batched_emit_planes(
-            pd.table, jnp.asarray(windows), pd.halo, pd.state_bits, 1
-        )
-        return bits
-
-    def _planes_rowdfa(self, cls: np.ndarray):
-        """Row-gather engines: stride-2 (v6) when the (s, c0)-indexed table
-        fits VMEM, else stride-1 (v7) when the packed table fits, else the
-        element-gather batched engine (v4)."""
-        import jax.numpy as jnp
-
-        from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
-
-        m = self.compiled
-        which = scan_rowdfa.pick_engine(m)
-        if which == "batched":
-            return self._planes_batched(cls)
-        if which == "block":
-            from ahocorasick_tpu.kernels import scan_block
-
-            bd = self.dev.block_dfa
-            windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, bd.halo)
-            W = windows.shape[1]
-            wt = jnp.asarray(scan_block.regroup_windows(windows))
-            G = wt.shape[0] // (W * 8)
-            bits = scan_block.block_emit_planes(
-                bd.table, wt, bd.halo, bd.state_bits, bd.num_classes,
-                bd.num_blocks, W, G,
-            )
-            # Padded lanes (B rounded to G*1024 windows) trail the text; the
-            # extractor trims to len(cls).
-            return bits
-        if which == "rowdfa2":
-            rd = self.dev.row_dfa
-            windows = scan_rowdfa.chunk_classes2(cls, _BATCH_CHUNK, rd.halo)
-            bits = scan_rowdfa.rowdfa_emit_planes(
-                rd.table, jnp.asarray(windows), rd.halo, rd.state_bits,
-                rd.num_classes, 1,
-            )
-        else:
-            rd = self.dev.row_dfa1
-            windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, rd.halo)
-            bits = scan_rowdfa.rowdfa1_emit_planes(
-                rd.table, jnp.asarray(windows), rd.halo, rd.state_bits,
-                rd.num_classes,
-            )
-        return bits
+        if force_batched is None:
+            force_batched = self.device_engine != "rowdfa"
+        plan = dispatch.planes_plan(self.compiled, self.dev,
+                                    force_batched=force_batched)
+        windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, plan.halo)
+        return plan.fn(plan.tables, jnp.asarray(windows))
 
     def _planes_batched2(self, cls: np.ndarray):
         import jax.numpy as jnp
@@ -596,7 +539,7 @@ class _PfacEngine(_Matcher):
 
         m = self.compiled
         if not scan_batched2.fits(m):
-            return self._planes_rowdfa(cls)  # standard-engine fallback
+            return self._planes_auto(cls)  # standard-engine fallback
         p2 = self.dev.packed2_dfa
         d = max(m.max_depth, 1)
         windows = scan_batched2.chunk_classes2(cls, _BATCH_CHUNK, p2.halo)
@@ -660,55 +603,11 @@ class AhoCorasickSet(_PfacEngine):
     def _device_count(self, cls: np.ndarray):
         import jax.numpy as jnp
 
-        from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
+        from ahocorasick_tpu.ops import dispatch, scan_batched
 
-        m = self.compiled
-        which = scan_rowdfa.pick_engine(m)
-        if which == "block":
-            from ahocorasick_tpu.kernels import scan_block
-
-            bd = self.dev.block_dfa
-            windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, bd.halo)
-            W = windows.shape[1]
-            wt = jnp.asarray(scan_block.regroup_windows(windows))
-            G = wt.shape[0] // (W * 8)
-            return scan_block.block_count(
-                bd.table, wt, bd.halo, bd.state_bits, bd.num_classes,
-                bd.num_blocks, W, G,
-            )
-        if which == "rowdfa2":
-            rd = self.dev.row_dfa
-            windows = scan_rowdfa.chunk_classes2(cls, _BATCH_CHUNK, rd.halo)
-            return scan_rowdfa.rowdfa_count(
-                rd.table, jnp.asarray(windows), rd.halo, rd.state_bits,
-                rd.num_classes,
-            )
-        if which == "rowdfa1":
-            rd = self.dev.row_dfa1
-            windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, rd.halo)
-            return scan_rowdfa.rowdfa1_count(
-                rd.table, jnp.asarray(windows), rd.halo, rd.state_bits,
-                rd.num_classes,
-            )
-        if not scan_batched.inline_packable(m):
-            if scan_batched.count_packable(m):
-                flat, cp_bits, halo = self.dev.count_packed_dfa
-                windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, halo)
-                return scan_batched.packedcount_count(
-                    flat, jnp.asarray(windows), halo, cp_bits, m.num_classes
-                )
-            dfa_flat, emit_tab, halo = self.dev.split_dfa
-            d = max(m.max_depth, 1)
-            windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, halo)
-            return scan_batched.split_count(
-                dfa_flat, emit_tab, jnp.asarray(windows), halo,
-                m.num_classes, (d + 31) // 32,
-            )
-        pd = self.dev.packed_dfa
-        windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, pd.halo)
-        return scan_batched.batched_count(
-            pd.table, jnp.asarray(windows), pd.halo, pd.state_bits
-        )
+        plan = dispatch.count_plan(self.compiled, self.dev)
+        windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, plan.halo)
+        return plan.fn(plan.tables, jnp.asarray(windows))
 
 
 class AhoCorasickMap(AhoCorasickSet):

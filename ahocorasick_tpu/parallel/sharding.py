@@ -399,8 +399,7 @@ def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
     """
     from jax.sharding import NamedSharding
 
-    from ahocorasick_tpu.kernels import scan_block
-    from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
+    from ahocorasick_tpu.ops import dispatch, scan_batched
 
     m = matcher.compiled
     if m.is_row_compressed and not scan_batched.quotient_packable(m):
@@ -410,69 +409,11 @@ def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
         )
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    which = scan_rowdfa.pick_engine(m)
-
-    if which == "block":
-        bd = matcher.dev.block_dfa
-        halo, table = bd.halo, bd.table
-
-        def kernel(table, windows):
-            B, W = windows.shape
-            G = -(-B // 1024)
-            if G * 1024 != B:
-                pad = jnp.zeros((G * 1024 - B, W), windows.dtype)
-                windows = jnp.concatenate([windows, pad], axis=0)
-            wt = windows.reshape(G, 8, 128, W).transpose(0, 3, 1, 2)
-            wt = wt.reshape(G * W * 8, 128)
-            return scan_block.block_count(
-                table, wt, halo, bd.state_bits, bd.num_classes, bd.num_blocks,
-                W, G)
-    elif which == "rowdfa2":
-        rd = matcher.dev.row_dfa
-        halo, table = rd.halo, rd.table
-
-        def kernel(table, windows):
-            return scan_rowdfa.rowdfa_count(
-                table, windows, halo, rd.state_bits, rd.num_classes)
-    elif which == "rowdfa1":
-        rd = matcher.dev.row_dfa1
-        halo, table = rd.halo, rd.table
-
-        def kernel(table, windows):
-            return scan_rowdfa.rowdfa1_count(
-                table, windows, halo, rd.state_bits, rd.num_classes)
-    else:
-        d = max(m.max_depth, 1)
-        if not scan_batched.inline_packable(m):
-            if scan_batched.count_packable(m):
-                # One gather per character: the emit COUNT rides the packed
-                # entry even when the per-length mask cannot.
-                table, cp_bits, halo = matcher.dev.count_packed_dfa
-                which = "packedcount"
-
-                def kernel(table, windows):
-                    return scan_batched.packedcount_count(
-                        table, windows, halo, cp_bits, m.num_classes)
-            else:
-                dfa_flat, emit_tab, halo = matcher.dev.split_dfa
-                table = dfa_flat
-                planes = (d + 31) // 32
-
-                def kernel(table, windows):
-                    return scan_batched.split_count(
-                        table, emit_tab, windows, halo, m.num_classes, planes)
-        else:
-            pd = matcher.dev.packed_dfa
-            halo, table = pd.halo, pd.table
-
-            def kernel(table, windows):
-                return scan_batched.batched_count(
-                    table, windows, halo, pd.state_bits)
-
-    # Even halo: rowdfa2 requires it, and the extra warmup character is
-    # harmless for the others.  Kernels close over ``halo`` late-bound, so
-    # this rebinding is what they see.
-    halo = halo + (halo % 2)
+    # One shared engine switch (ops/dispatch.py): the same plan the
+    # single-chip count and the bench kernel-rate harness run; the block
+    # engine's lane regroup happens in-jit inside plan.fn.
+    plan = dispatch.count_plan(m, matcher.dev)
+    which, halo, kernel = plan.which, plan.halo, plan.fn
 
     def prepare(cls: np.ndarray):
         n = len(cls)
@@ -484,30 +425,30 @@ def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
             NamedSharding(mesh, P(axis)),
         )
 
-    table_spec = P(*([None] * np.ndim(table)))
+    table_specs = tuple(P(*([None] * np.ndim(t))) for t in plan.tables)
 
     @functools.partial(jax.jit, static_argnames=("reps",))
     def count(cls_dev, reps: int = 1):
         @functools.partial(
-            shard_map, mesh=mesh, in_specs=(table_spec, P(axis)),
+            shard_map, mesh=mesh, in_specs=(table_specs, P(axis)),
             out_specs=P(),
             # pallas_call inside the body can't declare its varying-across
             # mesh axes (jax.ShapeDtypeStruct has no vma here); the reduction
             # is explicitly psum'd below, so skipping the check is sound.
             check_vma=False,
         )
-        def run(table, cls_local):
+        def run(tables, cls_local):
             hl = _left_halo(cls_local, halo, axis, n_dev)
             windows = _windows_on_device(
                 jnp.concatenate([hl, cls_local]), chunk, halo)
 
             def one(i, tot):
                 wi = jnp.roll(windows, i, axis=0)
-                return tot + kernel(table, wi)
+                return tot + kernel(tables, wi)
 
             return lax.psum(lax.fori_loop(0, reps, one, jnp.int32(0)), axis)
 
-        return run(table, cls_dev)
+        return run(plan.tables, cls_dev)
 
     return prepare, count, which
 
