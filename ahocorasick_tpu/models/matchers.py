@@ -539,7 +539,9 @@ class _PfacEngine(_Matcher):
 
         m = self.compiled
         if not scan_batched2.fits(m):
-            return self._planes_auto(cls)  # standard-engine fallback
+            # Doesn't-fit fallback rides the picked fastest engine, not the
+            # forced batched path (the knob only forces batched2 itself).
+            return self._planes_auto(cls, force_batched=False)
         p2 = self.dev.packed2_dfa
         d = max(m.max_depth, 1)
         windows = scan_batched2.chunk_classes2(cls, _BATCH_CHUNK, p2.halo)

@@ -1,6 +1,6 @@
 """Row-gather DFA scans — whole-row gathers + fused column select (v6/v7).
 
-Probe data (kernels/probe3, /probe4) on the real v5e:
+Probe data (tools/probes/probe3, /probe4) on the real v5e:
 
 * XLA *element* gathers serialize at ~73-120 M lookups/s regardless of
   batch size or table size — the envelope that capped the v4 engine.

@@ -4,7 +4,7 @@ The XLA envelope (docs/PERF.md) caps table lookups at ~120 M/s/chip, which
 bounds every automaton formulation.  Pallas/Mosaic exposes hardware paths XLA
 never emits for gathers — lane shuffles, in-VMEM scalar loads, MXU one-hot
 selection.  Each probe below measures one candidate transition primitive;
-run as ``python -m ahocorasick_tpu.kernels.probe`` on the real chip.
+run as ``python tools/probes/probe`` on the real chip.
 
 Timing hygiene (docs/PERF.md "tunnel facts"): reps inside one jit with
 data-dependent chaining (each rep's indices derive from the previous rep's

@@ -1,7 +1,7 @@
 """Probe round 2: sustained block-gather rates, sublane gather support,
 XLA row-gather width scaling (for the big-dictionary stride-2 path).
 
-Run: python -m ahocorasick_tpu.kernels.probe2
+Run: python tools/probes/probe2
 """
 
 from __future__ import annotations
@@ -14,7 +14,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ahocorasick_tpu.kernels.probe import _timeit
+from probe import _timeit
 
 
 def probe_block_gather_sustained(T, reps, B=512):

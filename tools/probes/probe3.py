@@ -6,7 +6,7 @@ a real device->host round-trip.  Work per call is sized to seconds so the
 RPC overhead (<~0.5 s) stays visible but non-dominant; we also difference
 two rep counts to cancel fixed overhead.
 
-Run: python -m ahocorasick_tpu.kernels.probe3
+Run: python tools/probes/probe3
 """
 
 from __future__ import annotations

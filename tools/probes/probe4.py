@@ -5,7 +5,7 @@ gathers), but consumed only 2 static columns, which XLA can narrow.  Here we
 measure the REAL engine step: gather row ``table[s]`` then select column
 ``c`` per lane (one-hot dot), chained — nothing narrowable.
 
-Run: python -m ahocorasick_tpu.kernels.probe4
+Run: python tools/probes/probe4
 """
 
 from __future__ import annotations
@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ahocorasick_tpu.kernels.probe3 import timeit2
+from probe3 import timeit2
 
 
 def make_row_step(S, A, B=4096, sel="onehot"):

@@ -13,7 +13,7 @@ Candidates measured here, all chained (select feeds the next gather):
 
 Also sweeps lane count B for the winning select (latency amortization).
 
-Run: python -m ahocorasick_tpu.kernels.probe5
+Run: python tools/probes/probe5
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ahocorasick_tpu.kernels.probe3 import timeit2
+from probe3 import timeit2
 
 
 def _select(rows, c, A, how):

@@ -13,7 +13,7 @@ answers on real hardware:
      row gathers were bandwidth-bound, a 4 KB-row delta-squared table would
      double chars/gather; if latency-bound, it is dead.
 
-Run:  timeout 1800 python -m ahocorasick_tpu.kernels.probe6
+Run:  timeout 1800 python tools/probes/probe6
 """
 
 from __future__ import annotations
