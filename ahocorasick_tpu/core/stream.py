@@ -157,41 +157,156 @@ def expand_state_emits(
     return ends - lens, ends, vals
 
 
-class _DfaCursor:
-    """Streaming cursor for the AC / Longest / Shortest kinds."""
+# Feed sizes at/above this ride the parallel device engines; below it the
+# jitted sequential scan wins (dispatch overhead).  Mirrors the matchers'
+# _AUTO_DEVICE_MIN_UNITS rationale.
+_STREAM_DEVICE_MIN = 1 << 14
+_STREAM_CHUNK = 512  # batched-engine chunk length (matchers._BATCH_CHUNK)
 
-    def __init__(self, m: CompiledMatcher, table: np.ndarray):
+
+class _CandidateSource:
+    """All AC occurrences within a feed, tail-warmup exact, engine-switched.
+
+    The automaton is d-synchronizing (``ops/scan_batched`` module doc): the
+    state at any position is a function of the last ``d`` consumed units.
+    Carrying the last ``d`` *classes* (the tail) therefore replaces carrying
+    the state id, and lets every feed ride the same parallel batched/rowdfa/
+    block engines as batch mode — the warmup for the feed's first lane is
+    the real tail instead of PAD, and candidates ending in the tail region
+    (already delivered last feed) are dropped.  Small feeds use the jitted
+    sequential scan over tail+feed from the root, which is exact by the same
+    argument.  (Reference invariant source: ``AhoCorasickMap.java:208-275``
+    carries one node across buffer refills.)
+    """
+
+    def __init__(self, m: CompiledMatcher, dev=None, engine: str = "auto"):
         self.m = m
-        self.scan = _SeqScan(table)
-        self.state = 0
+        self.halo = max(m.max_depth, 1)
+        self.engine = engine
+        self._dev = dev if engine != "gold" else None
+        self._plan = None
+        self._seq = None
+
+    def _device_ok(self) -> bool:
+        if self._dev is None or self.m.dfa_next is None:
+            return False
+        if self.m.is_row_compressed:
+            from ahocorasick_tpu.ops import scan_batched
+
+            return scan_batched.quotient_packable(self.m)
+        return True
+
+    def _use_device(self, n: int) -> bool:
+        if not self._device_ok():
+            return False
+        return self.engine == "device" or n >= _STREAM_DEVICE_MIN
+
+    def candidates(self, buf: np.ndarray, keep_after: int):
+        """(starts, ends, vals) of matches in ``buf`` (local coords) with
+        ``end > keep_after``, sorted by (end asc, start asc) — the
+        reference's emission order (end asc; at equal end, the ``output()``
+        suffix-chain order, ``AhoCorasickSet.java:522-535``)."""
+        if len(buf) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        if self._use_device(len(buf)):
+            import jax.numpy as jnp
+
+            from ahocorasick_tpu.ops import dispatch, scan_batched
+
+            if self._plan is None:
+                self._plan = dispatch.planes_plan(self.m, self._dev)
+            plan = self._plan
+            windows = scan_batched.chunk_classes(buf, _STREAM_CHUNK, plan.halo)
+            bits = plan.fn(plan.tables, jnp.asarray(windows))
+            starts, ends, vals = scan_batched.ac_matches_batched(
+                self.m, buf, bits
+            )
+        else:
+            if self._seq is None:
+                self._seq = _SeqScan(self.m.dfa_next)
+            states, _ = self._seq.states(buf, 0)
+            starts, ends, vals = expand_state_emits(self.m, states, 0)
+        if keep_after > 0:
+            keep = ends > keep_after
+            starts, ends, vals = starts[keep], ends[keep], vals[keep]
+        return starts, ends, vals
+
+
+class _DfaCursor:
+    """Streaming cursor for the AC / Longest / Shortest kinds.
+
+    Cross-feed state is the class tail (last ``max_depth`` units) plus the
+    global offset; see ``_CandidateSource`` for why that is exact.
+    """
+
+    def __init__(self, m: CompiledMatcher, dev=None, engine: str = "auto"):
+        self.m = m
+        self.src = _CandidateSource(m, dev, engine)
+        self.tail = np.zeros(0, dtype=np.int32)
         self.off = 0  # global index of the next unit
+
+    def _advance(self, buf: np.ndarray, n_new: int) -> None:
+        self.off += n_new
+        keep = min(len(buf), self.src.halo)
+        self.tail = np.asarray(buf[len(buf) - keep:], dtype=np.int32)
 
     def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:
         raise NotImplementedError
 
     def state_dict(self) -> dict:
-        """JSON-safe resume point: the reference's cross-chunk invariant is
-        exactly (state id, offset) — ``AhoCorasickMap.java:208-275``."""
-        return {"state": int(self.state), "off": int(self.off)}
+        """JSON-safe resume point.  The reference's cross-chunk invariant is
+        one node pointer (``AhoCorasickMap.java:208-275``); here it is the
+        class tail that determines that node (d-synchronization)."""
+        return {"tail": self.tail.tolist(), "off": int(self.off)}
 
     def load_state_dict(self, d: dict) -> None:
-        self.state = int(d["state"])
+        self.tail = np.asarray(d["tail"], dtype=np.int32)
         self.off = int(d["off"])
 
 
 class _AcCursor(_DfaCursor):
-    def __init__(self, m: CompiledMatcher):
-        super().__init__(m, m.dfa_next)
-
     def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:
-        states, self.state = self.scan.states(cls, self.state)
-        starts, ends, vals = expand_state_emits(self.m, states, self.off)
-        self.off += len(cls)
-        return list(zip(starts.tolist(), ends.tolist(), vals.tolist()))
+        buf = np.concatenate([self.tail, cls]) if len(self.tail) else cls
+        off0 = self.off - len(self.tail)
+        starts, ends, vals = self.src.candidates(buf, self.off - off0)
+        out = list(zip((starts + off0).tolist(), (ends + off0).tolist(),
+                       vals.tolist()))
+        self._advance(buf, len(cls))
+        return out
 
 
 class _ShortestCursor(_DfaCursor):
-    def __init__(self, m: CompiledMatcher):
+    """Shortest streaming via AC-over-survivors candidates + the incremental
+    min-end greedy resolve (carry = the restart cursor ``p``).
+
+    ``ac`` is the internal AC automaton over the insert-surviving keywords
+    (``ShortestMatchSet._ac``) with an optional class remap; the equivalence
+    of candidates-then-greedy with the reference's lagged restart loop is
+    argued on ``resolve.queue.resolve_shortest``.  The greedy is trivially
+    incremental: candidates arrive (end asc, start asc) and acceptance only
+    reads/writes the cursor ``p``.  Without an AC source (``from_compiled``
+    artifacts), falls back to the sequential restart-baked DFA scan — that
+    automaton is NOT d-synchronizing (state depends on match history), so
+    the fallback carries the state id, not a tail.
+    """
+
+    def __init__(self, m: CompiledMatcher, dev=None, engine: str = "auto",
+                 ac=None):
+        if ac is not None:
+            ac_m, ac_dev, cls_map = ac
+            super().__init__(ac_m, ac_dev, engine)
+            self._cls_map = cls_map
+            self.p = 0  # restart cursor: matches may not start before it
+            self._legacy = None
+        else:
+            super().__init__(m, None, "gold")
+            self._legacy = _SeqScan(self._restart_table(m))
+            self.state = 0
+        self.m_outer = m
+
+    @staticmethod
+    def _restart_table(m: CompiledMatcher):
         # Restart-at-root baked into the table: match-state rows equal the
         # root's (the compile-time pruning makes deep match states leaves;
         # level-1 match states are handled by the same substitution).
@@ -199,37 +314,71 @@ class _ShortestCursor(_DfaCursor):
 
         is_match = m.match_len[: m.num_states] > 0
         if isinstance(m.dfa_next, RowTable):
-            eff = RowTable(
+            return RowTable(
                 m.dfa_next.rows,
                 np.where(is_match, m.dfa_next.row_id[0], m.dfa_next.row_id),
             )
-        else:
-            eff = m.dfa_next.copy()
-            eff[is_match] = m.dfa_next[0]
-        super().__init__(m, eff)
+        eff = m.dfa_next.copy()
+        eff[is_match] = m.dfa_next[0]
+        return eff
 
     def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:
-        states, self.state = self.scan.states(cls, self.state)
-        ml = self.m.match_len[states]
-        pos = np.nonzero(ml > 0)[0]
-        ends = pos + self.off + 1
-        starts = ends - ml[pos]
-        vals = self.m.match_val[states[pos]].astype(np.int64)
-        self.off += len(cls)
-        return list(zip(starts.tolist(), ends.tolist(), vals.tolist()))
+        if self._legacy is not None:
+            m = self.m_outer
+            states, self.state = self._legacy.states(cls, self.state)
+            ml = m.match_len[states]
+            pos = np.nonzero(ml > 0)[0]
+            ends = pos + self.off + 1
+            starts = ends - ml[pos]
+            vals = m.match_val[states[pos]].astype(np.int64)
+            self.off += len(cls)
+            return list(zip(starts.tolist(), ends.tolist(), vals.tolist()))
+
+        if self._cls_map is not None:
+            cls = self._cls_map[cls]
+        buf = np.concatenate([self.tail, cls]) if len(self.tail) else cls
+        off0 = self.off - len(self.tail)
+        starts, ends, vals = self.src.candidates(buf, self.off - off0)
+        out: List[Match] = []
+        p = self.p
+        for s, e, v in zip((starts + off0).tolist(), (ends + off0).tolist(),
+                           vals.tolist()):
+            if s >= p:
+                out.append((s, e, v))
+                p = e
+        self.p = p
+        self._advance(buf, len(cls))
+        return out
+
+    def state_dict(self) -> dict:
+        if self._legacy is not None:
+            return {"state": int(self.state), "off": int(self.off)}
+        d = super().state_dict()
+        d["p"] = int(self.p)
+        return d
+
+    def load_state_dict(self, d: dict) -> None:
+        if self._legacy is not None:
+            self.state = int(d["state"])
+            self.off = int(d["off"])
+            return
+        super().load_state_dict(d)
+        self.p = int(d["p"])
 
 
 class _LongestCursor(_DfaCursor):
-    def __init__(self, m: CompiledMatcher):
-        super().__init__(m, m.dfa_next)
+    def __init__(self, m: CompiledMatcher, dev=None, engine: str = "auto"):
+        super().__init__(m, dev, engine)
         self.queue = MatchQueue()
 
     def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:
-        states, self.state = self.scan.states(cls, self.state)
-        starts, ends, vals = expand_state_emits(self.m, states, self.off)
-        for s, e, v in zip(starts.tolist(), ends.tolist(), vals.tolist()):
+        buf = np.concatenate([self.tail, cls]) if len(self.tail) else cls
+        off0 = self.off - len(self.tail)
+        starts, ends, vals = self.src.candidates(buf, self.off - off0)
+        for s, e, v in zip((starts + off0).tolist(), (ends + off0).tolist(),
+                           vals.tolist()):
             self.queue.push(s, e, v)
-        self.off += len(cls)
+        self._advance(buf, len(cls))
         if is_final:
             return self.queue.drain()
         # Future candidates end after self.off and have length <= max_depth,
@@ -397,23 +546,28 @@ class _WordCursor:
         self.resume = int(d["resume"])
 
 
-def make_cursor(m: CompiledMatcher):
+def make_cursor(m: CompiledMatcher, dev=None, engine: str = "auto", ac=None):
+    """``dev``: device table cache (``models.matchers._DeviceTables``) —
+    enables the parallel batched/rowdfa/block engines for large feeds.
+    ``ac``: SHORTEST only — ``(ac_compiled, ac_dev, cls_map)`` for the
+    internal AC automaton over insert survivors."""
     if m.kind == AC:
-        return _AcCursor(m)
+        return _AcCursor(m, dev, engine)
     if m.kind == LONGEST:
-        return _LongestCursor(m)
+        return _LongestCursor(m, dev, engine)
     if m.kind == SHORTEST:
-        return _ShortestCursor(m)
+        return _ShortestCursor(m, dev, engine, ac=ac)
     return _WordCursor(m)
 
 
 class StreamScanner:
     """Push- or pull-based streaming façade over a compiled matcher."""
 
-    def __init__(self, m: CompiledMatcher, chunk_units: Optional[int] = None):
+    def __init__(self, m: CompiledMatcher, chunk_units: Optional[int] = None,
+                 *, dev=None, engine: str = "auto", ac=None):
         self.m = m
         self.chunk_units = chunk_units or default_chunk_units(max(m.max_depth, 1))
-        self.cursor = make_cursor(m)
+        self.cursor = make_cursor(m, dev, engine, ac)
 
     def _classes(self, text: str) -> np.ndarray:
         return self.m.charmap[chartables.to_utf16_units(text)]

@@ -376,16 +376,67 @@ class _Matcher:
                 if listener(text, int(s), int(e)) is False:
                     return
 
+    # Listener-mode scans of haystacks longer than this are chunked through
+    # the stream cursor so a False return stops the scan after the current
+    # chunk — the reference breaks its scan loop on False
+    # (AhoCorasickSet.java:223-225); chunk-at-a-time is the device analog of
+    # that work saving.
+    _LISTENER_CHUNK = 1 << 20
+
     def match(self, haystack: str, listener: Optional[Callable] = None):
         """Reference ``match``: deliver to a listener, or return the list."""
-        starts, ends, vals = self.match_triples(haystack)
         if listener is not None:
+            if self._listener_chunkable(len(haystack)):
+                return self._match_chunked(haystack, listener)
+            starts, ends, vals = self.match_triples(haystack)
             self._deliver(haystack, listener, starts, ends, vals)
             return None
+        starts, ends, vals = self.match_triples(haystack)
         if self.is_map:
             values = self.compiled.values
             return [(int(s), int(e), values[v]) for s, e, v in zip(starts, ends, vals)]
         return [(int(s), int(e)) for s, e in zip(starts, ends)]
+
+    def _listener_chunkable(self, n: int) -> bool:
+        # The DFA-kind stream cursors ride the same device engines as batch
+        # mode, so chunked delivery costs nothing; the whole-word cursors
+        # walk on the host, so those kinds keep the full-scan path.
+        return (
+            n > self._LISTENER_CHUNK
+            and self.kind in (AC, LONGEST, SHORTEST)
+            and self._pick_engine(n) == "device"
+        )
+
+    def _match_chunked(self, haystack: str, listener) -> None:
+        """Chunk-at-a-time listener delivery; stops reading on False.
+
+        Delivery order is identical to the full-scan path: each kind's
+        stream cursor finalizes matches in the batch emission order, and
+        chunk outputs are consecutive (conformance: tests/test_stream.py).
+        """
+        from ahocorasick_tpu.utils.stats import ScanStats, timed
+
+        scanner = self._stream_scanner(self._LISTENER_CHUNK)
+        values = self.compiled.values
+        n = len(haystack)
+        self.last_stats = ScanStats(units=0, engine="device", kind=self.kind)
+        delivered = 0
+        with timed(self.last_stats):
+            for i in range(0, n, self._LISTENER_CHUNK):
+                piece = haystack[i : i + self._LISTENER_CHUNK]
+                trips = scanner.feed(piece, is_final=i + len(piece) >= n)
+                self.last_stats.units = i + len(piece)
+                for s, e, v in trips:
+                    delivered += 1
+                    if self.is_map:
+                        res = listener(haystack, s, e, values[v])
+                    else:
+                        res = listener(haystack, s, e)
+                    if res is False:
+                        self.last_stats.matches = delivered
+                        return None
+        self.last_stats.matches = delivered
+        return None
 
     # ------------------------------ streaming ------------------------------ #
 
@@ -398,9 +449,7 @@ class _Matcher:
         finalize and a ``False`` return stops reading; otherwise the full
         list is returned.
         """
-        from ahocorasick_tpu.core.stream import StreamScanner
-
-        scanner = StreamScanner(self.compiled, chunk_units)
+        scanner = self._stream_scanner(chunk_units)
         values = self.compiled.values
         if listener is None:
             if self.is_map:
@@ -417,9 +466,19 @@ class _Matcher:
         global matches — ``(start, end)`` for sets, ``(start, end, value)``
         for maps; ``state_dict()``/``load_state_dict()`` persist the cursor
         across processes (resumable scans)."""
+        return _MatcherStream(self._stream_scanner(chunk_units), self.is_map)
+
+    def _stream_scanner(self, chunk_units):
+        """Streaming scanner wired to this matcher's device tables, so large
+        feeds ride the same parallel engines as batch mode (exactness:
+        ``core/stream._CandidateSource``)."""
         from ahocorasick_tpu.core.stream import StreamScanner
 
-        return _MatcherStream(StreamScanner(self.compiled, chunk_units), self.is_map)
+        return StreamScanner(self.compiled, chunk_units, dev=self.dev,
+                             engine=self.engine, ac=self._stream_ac())
+
+    def _stream_ac(self):
+        return None
 
     # ----------------------------- persistence ----------------------------- #
 
@@ -464,9 +523,7 @@ class _Matcher:
         ``ReadableMatchListener.java:4-9``); ``False`` stops the run."""
         if not self.is_map:
             raise TypeError("match_readable is a map-matcher API (values-only)")
-        from ahocorasick_tpu.core.stream import StreamScanner
-
-        scanner = StreamScanner(self.compiled, chunk_units)
+        scanner = self._stream_scanner(chunk_units)
         values = self.compiled.values
         for _, _, v in scanner.scan(source):
             if listener(values[v]) is False:
@@ -712,6 +769,17 @@ class ShortestMatchSet(_Matcher):
     def _ac_classes(self, cls: np.ndarray) -> np.ndarray:
         """Shortest-charmap classes -> internal-AC-charmap classes."""
         return cls if self._cls_map is None else self._cls_map[cls]
+
+    def _stream_ac(self):
+        """Streaming candidate source: the internal AC automaton + class
+        remap (None for ``from_compiled`` artifacts — the cursor then keeps
+        the sequential restart-baked scan)."""
+        if self.engine == "gold":
+            return None  # never build the internal AC for gold matchers
+        ac = self._ac
+        if ac is None:
+            return None
+        return (ac.compiled, ac.dev, self._cls_map)
 
     def _pick_engine(self, n_units: int) -> str:
         if self.engine == "gold":

@@ -1,0 +1,70 @@
+"""Early-stop listener semantics: a False return stops the scan AND the work.
+
+The reference breaks its scan loop on a False listener return
+(``AhoCorasickSet.java:223-225``, README.md:70).  Long listener-mode scans
+here chunk through the stream cursor, so a False on an early match leaves
+the rest of the haystack unscanned (``_Matcher._match_chunked``); delivery
+order is identical to the full-scan path.
+"""
+
+import numpy as np
+
+from ahocorasick_tpu.models.matchers import (
+    AhoCorasickMap,
+    AhoCorasickSet,
+    LongestMatchSet,
+    ShortestMatchSet,
+)
+
+
+def test_early_stop_scans_only_a_prefix():
+    m = AhoCorasickSet(["needle"], engine="device")
+    m._LISTENER_CHUNK = 4096
+    text = "needle" + "x" * 65536
+    calls = []
+
+    def listener(t, s, e):
+        calls.append((s, e))
+        return False
+
+    assert m.match(text, listener) is None
+    assert calls == [(0, 6)]
+    # Only the first chunk (plus nothing else) was scanned.
+    assert m.last_stats.units <= 8192, m.last_stats.units
+
+
+def _soup(rng, n):
+    alpha = "abchers xyif"
+    return "".join(rng.choice(list(alpha), size=n))
+
+
+def test_chunked_listener_order_equals_full_scan():
+    rng = np.random.default_rng(7)
+    text = _soup(rng, 6000)
+    kws = ["he", "she", "hers", "ab", "ch", "if", "x"]
+    for cls in (AhoCorasickSet, LongestMatchSet, ShortestMatchSet):
+        m = cls(kws, engine="device")
+        expected = m.match(text)
+        m._LISTENER_CHUNK = 1024  # force the chunked listener path
+        got = []
+        m.match(text, lambda t, s, e: got.append((s, e)) or True)
+        assert got == expected, cls.__name__
+
+
+def test_chunked_listener_map_values_and_stop_mid_stream():
+    rng = np.random.default_rng(8)
+    text = _soup(rng, 6000)
+    kws = ["he", "she", "hers", "ab"]
+    m = AhoCorasickMap(kws, ["H", "S", "R", "A"])
+    full = m.match(text)
+    stop_at = len(full) // 2
+    m._LISTENER_CHUNK = 512
+    m.engine = "device"
+    got = []
+
+    def listener(t, s, e, v):
+        got.append((s, e, v))
+        return len(got) < stop_at
+
+    m.match(text, listener)
+    assert got == full[:stop_at]

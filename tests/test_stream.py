@@ -132,3 +132,71 @@ def test_stream_long_keyword_spanning_many_chunks():
     expected = m.match(text)
     got = m.match_stream(io.StringIO(text), chunk_units=7)
     assert got == expected
+
+
+# --------------------------------------------------------------------------- #
+# Device-engine streams: large feeds ride the batched/rowdfa/block engines
+# with tail-halo warmup (core/stream._CandidateSource).  engine="device"
+# forces the device path at ANY feed size, so tiny chunk sizes exercise the
+# tail-exactness argument cheaply on the CPU mesh.
+# --------------------------------------------------------------------------- #
+
+DEVICE_STREAM_CLASSES = [AhoCorasickSet, AhoCorasickMap, LongestMatchSet,
+                         ShortestMatchSet, ShortestMatchMap]
+
+
+def _mk(cls, kws, engine):
+    if cls.is_map:
+        return cls(kws, list(range(len(kws))), engine=engine)
+    return cls(kws, engine=engine)
+
+
+@pytest.mark.parametrize("cls_idx", range(len(DEVICE_STREAM_CLASSES)))
+@pytest.mark.parametrize("chunk", [3, 16, 600, 4096])
+def test_device_stream_equals_string(cls_idx, chunk):
+    cls = DEVICE_STREAM_CLASSES[cls_idx]
+    kws = KEYWORDS[cls if not cls.is_map else cls.__mro__[1]]
+    m = _mk(cls, kws, "device")
+    gold = _mk(cls, kws, "gold")
+    expected = gold.match(TEXT)
+    got = m.match_stream(io.StringIO(TEXT), chunk_units=chunk)
+    assert got == expected
+
+
+@pytest.mark.parametrize("cls_idx", range(len(DEVICE_STREAM_CLASSES)))
+def test_device_stream_fuzz_random_chunking(cls_idx):
+    cls = DEVICE_STREAM_CLASSES[cls_idx]
+    kws = KEYWORDS[cls if not cls.is_map else cls.__mro__[1]]
+    rng = np.random.default_rng(99 + cls_idx)
+    m = _mk(cls, kws, "device")
+    gold = _mk(cls, kws, "gold")
+    for trial in range(8):
+        text = _word_soup(rng, int(rng.integers(40, 200)))
+        expected = gold.match(text)
+        pieces = []
+        i = 0
+        while i < len(text):
+            k = int(rng.integers(1, 700))
+            pieces.append(text[i : i + k])
+            i += k
+        got = m.match_stream(pieces)
+        assert got == expected, (trial, text[:80])
+
+
+def test_device_stream_resume_mid_stream():
+    """state_dict/load_state_dict round-trips across device-engine cursors."""
+    kws = KEYWORDS[ShortestMatchSet]
+    for cls in (AhoCorasickSet, LongestMatchSet, ShortestMatchSet):
+        m = _mk(cls, kws, "device")
+        text = TEXT + " " + TEXT
+        cut = len(text) // 2
+        expected = m.match_stream(io.StringIO(text), chunk_units=97)
+        s1 = m.stream(chunk_units=97)
+        got = s1.feed(text[:cut], is_final=False)
+        import json
+
+        state = json.loads(json.dumps(s1.state_dict()))
+        s2 = m.stream()
+        s2.load_state_dict(state)
+        got += s2.feed(text[cut:], is_final=True)
+        assert got == expected, cls.__name__
