@@ -34,7 +34,8 @@ def word_soup(rng: np.random.Generator, keywords: list, n_units: int, hit_rate=0
 
 def run_config(label: str, *, kind: str, is_map: bool, keywords: list,
                case_sensitive: bool, text: str, reps: int = 3,
-               engine: str = "device", word_chars=None) -> dict:
+               engine: str = "device", word_chars=None,
+               listener_costs: bool = False) -> dict:
     """Build one matcher, scan one text, return the stats record."""
     from ahocorasick_tpu.models import matchers
 
@@ -66,6 +67,8 @@ def run_config(label: str, *, kind: str, is_map: bool, keywords: list,
         target = m._ac if kind == "shortest" else m
         cls_arr = target._classes(text)
         kernel_gbps, _, _ = ac_kernel_rate(target, cls_arr, reps=max(4, reps))
+    if listener_costs:
+        listener_cost_records(label, m, text, reps)
     return {
         "config": label,
         "kind": kind,
@@ -81,6 +84,53 @@ def run_config(label: str, *, kind: str, is_map: bool, keywords: list,
         "kernel_gbps": round(kernel_gbps, 3) if kernel_gbps is not None else None,
         "matches_per_sec": round(best.matches_per_sec, 1),
     }
+
+
+def listener_cost_records(label: str, m, text: str, reps: int) -> None:
+    """The reference's three benchmark columns (README.md:133-150): empty
+    listener, substring-collecting listener, value-collecting listener
+    (maps).  Times full ``match`` calls — scan + extraction + delivery —
+    so the listener overhead is measured against the same end-to-end
+    denominator the reference used."""
+    variants = [("empty", lambda t, s, e: True)]
+    if m.is_map:
+        variants = [
+            ("empty", lambda t, s, e, v: True),
+            ("value-collect", None),  # closure below (needs the list)
+        ]
+    else:
+        variants.append(("substr-collect", None))
+
+    for name, listener in variants:
+        acc: list = []
+        if listener is None:
+            if m.is_map:
+                def listener(t, s, e, v, _a=acc):
+                    _a.append(v)
+                    return True
+            else:
+                def listener(t, s, e, _a=acc):
+                    _a.append(t[s:e])
+                    return True
+        best = None
+        n_matches = 0
+        for _ in range(max(reps, 2)):
+            acc.clear()
+            t0 = time.perf_counter()
+            m.match(text, listener)
+            dt = time.perf_counter() - t0
+            n_matches = max(n_matches, len(acc))
+            best = dt if best is None else min(best, dt)
+        print(json.dumps({
+            "config": f"{label}-listener-{name}",
+            "kind": m.kind,
+            "map": m.is_map,
+            "units": len(text),
+            "matches": n_matches,
+            "scan_s": round(best, 6),
+            "gbps": round(len(text) * 2 / best / 1e9, 3),
+            "matches_per_sec": round(n_matches / best, 1) if best else 0.0,
+        }))
 
 
 def baseline_suite(full: bool, reps: int, seed: int) -> None:
@@ -99,7 +149,8 @@ def baseline_suite(full: bool, reps: int, seed: int) -> None:
     kws = english_like_keywords(rng, 100)
     print(json.dumps(run_config(
         "baseline-1-small-set", kind="ac", is_map=False, keywords=kws,
-        case_sensitive=True, text=word_soup(rng, kws, 1 << 23), reps=reps)))
+        case_sensitive=True, text=word_soup(rng, kws, 1 << 23), reps=reps,
+        listener_costs=True)))
 
     # 2: 10k-keyword map, case-insensitive folding, 100 MB corpus (scaled
     # to 16 MiB units unless --full)
@@ -108,7 +159,7 @@ def baseline_suite(full: bool, reps: int, seed: int) -> None:
     print(json.dumps(run_config(
         "baseline-2-map-folded", kind="ac", is_map=True, keywords=kws,
         case_sensitive=False, text=word_soup(rng, kws, units).upper(),
-        reps=reps)))
+        reps=reps, listener_costs=True)))
 
     # 3: longest + shortest, 100k keywords, adversarial overlap text
     kws = english_like_keywords(rng, 100_000)

@@ -219,8 +219,9 @@ class _CandidateSource:
             plan = self._plan
             windows = scan_batched.chunk_classes(buf, _STREAM_CHUNK, plan.halo)
             bits = plan.fn(plan.tables, jnp.asarray(windows))
+            layout = "hotstate" if plan.which == "hotstate" else "planes"
             starts, ends, vals = scan_batched.ac_matches_batched(
-                self.m, buf, bits
+                self.m, buf, bits, layout=layout
             )
         else:
             if self._seq is None:

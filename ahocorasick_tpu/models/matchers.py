@@ -559,18 +559,22 @@ class _PfacEngine(_Matcher):
     device_engine = "rowdfa"
 
     def _candidates(self, cls: np.ndarray):
-        bits = self._end_planes(cls)
-        if bits is None:
+        planes = self._end_planes(cls)
+        if planes is None:
             return self._candidates_pfac2(cls)
+        bits, layout = planes
         from ahocorasick_tpu.ops import scan_batched
 
-        return scan_batched.ac_matches_batched(self.compiled, cls, bits)
+        return scan_batched.ac_matches_batched(self.compiled, cls, bits,
+                                               layout=layout)
 
     def _end_planes(self, cls: np.ndarray):
-        """END-indexed emit planes ``uint32[P, >=len(cls)]`` from the picked
-        engine (``ops.dispatch.planes_plan``), or None when the configured
-        engine is not plane-producing (the pfac2 cross-check walk emits
-        START-indexed planes)."""
+        """``(bits, layout)`` from the picked engine
+        (``ops.dispatch.planes_plan``): END-indexed emit planes
+        ``uint32[P, >=len(cls)]`` with layout "planes", or the packed
+        (state, count) plane with layout "hotstate" (huge dictionaries).
+        None when the configured engine is not plane-producing (the pfac2
+        cross-check walk emits START-indexed planes)."""
         if self.device_engine == "pfac2" or len(cls) == 0:
             return None
         if self.device_engine == "batched2":
@@ -587,7 +591,8 @@ class _PfacEngine(_Matcher):
         plan = dispatch.planes_plan(self.compiled, self.dev,
                                     force_batched=force_batched)
         windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, plan.halo)
-        return plan.fn(plan.tables, jnp.asarray(windows))
+        bits = plan.fn(plan.tables, jnp.asarray(windows))
+        return bits, ("hotstate" if plan.which == "hotstate" else "planes")
 
     def _planes_batched2(self, cls: np.ndarray):
         import jax.numpy as jnp
@@ -606,7 +611,7 @@ class _PfacEngine(_Matcher):
             p2.table, jnp.asarray(windows), p2.halo, p2.state_bits,
             p2.num_classes, (d + 31) // 32,
         )
-        return bits
+        return bits, "planes"
 
     def _candidates_pfac2(self, cls: np.ndarray):
         import jax.numpy as jnp
@@ -683,12 +688,14 @@ class LongestMatchSet(_PfacEngine):
     kind = LONGEST
 
     def _device_triples(self, cls):
-        bits = self._end_planes(cls)
-        if bits is None:
+        planes = self._end_planes(cls)
+        if planes is None:
             return resolve_longest(*self._candidates(cls))
         from ahocorasick_tpu.ops import emit
 
-        return emit.resolve_end_planes(self.compiled, cls, bits, "longest")
+        bits, layout = planes
+        return emit.resolve_end_planes(self.compiled, cls, bits, "longest",
+                                       layout=layout)
 
 
 class LongestMatchMap(LongestMatchSet):
@@ -799,12 +806,14 @@ class ShortestMatchSet(_Matcher):
         ac = self._ac
         if ac is not None:
             cls = self._ac_classes(cls)
-            bits = ac._end_planes(cls)
-            if bits is None:
+            planes = ac._end_planes(cls)
+            if planes is None:
                 return resolve_shortest(*ac._candidates(cls))
             from ahocorasick_tpu.ops import emit
 
-            return emit.resolve_end_planes(ac.compiled, cls, bits, "shortest")
+            bits, layout = planes
+            return emit.resolve_end_planes(ac.compiled, cls, bits, "shortest",
+                                           layout=layout)
 
         # from_compiled fallback: sequential scan of the restart-baked DFA.
         import jax.numpy as jnp

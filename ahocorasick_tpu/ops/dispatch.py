@@ -22,7 +22,7 @@ from typing import Callable, NamedTuple, Tuple
 
 
 class EnginePlan(NamedTuple):
-    which: str  # block | rowdfa2 | rowdfa1 | batched | split | packedcount
+    which: str  # block | rowdfa2 | rowdfa1 | batched | split | packedcount | hotstate
     halo: int  # left-halo length for chunk_classes
     tables: Tuple  # device (jnp) arrays; pass back as fn(tables, windows)
     fn: Callable  # fn(tables, windows) -> int32 count | uint32[P, N] planes
@@ -119,7 +119,16 @@ def planes_plan(compiled, dev, force_batched: bool = False) -> EnginePlan:
             tables[0], w, rd.halo, rd.state_bits, rd.num_classes)
         return EnginePlan("rowdfa1", rd.halo, (rd.table,), fn)
     if not scan_batched.inline_packable(compiled):
-        # Packed layout overflows (huge dictionary with long keywords):
+        if scan_batched.hotstate_layout(compiled):
+            # Huge dictionary, count-packable: ONE gather per character;
+            # output is the packed (state, count) plane, decoded host-side
+            # by the same predicate (scan_batched.hotstate_layout).
+            flat, cp_bits, halo = dev.count_packed_dfa
+            A = compiled.num_classes
+            fn = lambda tables, w: scan_batched.packedcount_hotstate_plane(
+                tables[0], w, halo, cp_bits, A)
+            return EnginePlan("hotstate", halo, (flat,), fn)
+        # Packed layout overflows and counts don't fit either:
         # split path — one next-state gather + P emit gathers per char.
         return _split_plan(compiled, dev, scan_batched.split_emit_planes)
     pd = dev.packed_dfa

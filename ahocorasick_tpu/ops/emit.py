@@ -83,7 +83,7 @@ def ac_matches(m: CompiledMatcher, cls: np.ndarray, bits: np.ndarray):
 
 
 def resolve_end_planes(m: CompiledMatcher, cls: np.ndarray, bits: np.ndarray,
-                       mode: str):
+                       mode: str, layout: str = "planes"):
     """END-indexed emit planes -> resolved non-overlapping triples.
 
     Fuses candidate extraction with the greedy resolver in native C when
@@ -108,6 +108,18 @@ def resolve_end_planes(m: CompiledMatcher, cls: np.ndarray, bits: np.ndarray,
         # positions with any emit bit cross the host link (match-sparse
         # texts shrink the download by >10x); dense/adversarial inputs fall
         # back to the full-plane download.
+        if layout == "hotstate":
+            # Huge-dictionary packed (state, count) plane: decode to the
+            # same (idx, masks) sparse contract (scan_batched module doc).
+            idx, masks = scan_batched.hotstate_sparse(m, bits, len(cls))
+            starts, ends = native_lib.extract_resolve_sparse(
+                idx, masks, len(cls), m.max_depth, mode
+            )
+            if m.values is not None:
+                vals = walk_values(m, cls, starts, ends - starts)
+            else:
+                vals = np.full(len(starts), -1, dtype=np.int64)
+            return starts, ends, vals
         sp = scan_batched.planes_to_sparse(bits, len(cls))
         if sp is not None:
             starts, ends = native_lib.extract_resolve_sparse(
@@ -125,7 +137,7 @@ def resolve_end_planes(m: CompiledMatcher, cls: np.ndarray, bits: np.ndarray,
 
     from ahocorasick_tpu.resolve.queue import resolve_longest, resolve_shortest
 
-    trip = scan_batched.ac_matches_batched(m, cls, bits)
+    trip = scan_batched.ac_matches_batched(m, cls, bits, layout=layout)
     return (resolve_longest if mode == "longest" else resolve_shortest)(*trip)
 
 

@@ -216,6 +216,90 @@ def packedcount_count(
     return total
 
 
+def hotstate_layout(m: CompiledMatcher) -> bool:
+    """Huge-dictionary extraction layout: packed-inline overflows
+    (state_bits + max_depth > 32) but ``next | emit_count << state_bits``
+    fits.  The scan then spends ONE gather per character (vs the split
+    path's 1 + P) and outputs the packed (state, count) word at positions
+    where any keyword ends; emit masks are recovered host-side from the
+    state id (``hotstate_sparse``).  The 1M-keyword BASELINE config
+    (4.37M states, depth 12) is the motivating case."""
+    return (
+        m.dfa_next is not None
+        and not m.is_row_compressed
+        and not inline_packable(m)
+        and count_packable(m)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("halo", "state_bits", "num_classes"))
+def packedcount_hotstate_plane(
+    table_flat: jax.Array,  # uint32[S*A]: next | emit_count << state_bits
+    windows: jax.Array,  # int32[B, halo + C]
+    halo: int,
+    state_bits: int,
+    num_classes: int,
+) -> jax.Array:
+    """uint32[1, B*C]: the packed table word at each position whose arrival
+    state ends >=1 keyword, 0 elsewhere.  One flat gather per character;
+    rides the same sparse-compaction download as the emit-plane engines."""
+    A = jnp.uint32(num_classes)
+    smask = jnp.uint32((1 << state_bits) - 1)
+    sb = jnp.uint32(state_bits)
+
+    def warm(s, c):
+        return table_flat[s * A + c.astype(jnp.uint32)] & smask, None
+
+    s0 = (windows[:, 0] * 0).astype(jnp.uint32)
+    s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
+
+    def step(s, c):
+        v = table_flat[s * A + c.astype(jnp.uint32)]
+        return v & smask, jnp.where((v >> sb) != 0, v, jnp.uint32(0))
+
+    _, vs = lax.scan(step, s_h, windows[:, halo:].T)  # (C, B)
+    return vs.T.reshape(1, -1)
+
+
+from collections import OrderedDict as _OrderedDict
+
+_HOST_EMIT_PLANES: "_OrderedDict[int, tuple]" = _OrderedDict()
+
+
+def host_emit_planes(m: CompiledMatcher) -> np.ndarray:
+    """Cached host copy of the per-state emit planes (LRU of 4 matchers)."""
+    key = id(m)
+    ent = _HOST_EMIT_PLANES.get(key)
+    if ent is not None and ent[0] is m:
+        _HOST_EMIT_PLANES.move_to_end(key)
+        return ent[1]
+    planes = _state_emit_planes(m)
+    _HOST_EMIT_PLANES[key] = (m, planes)
+    if len(_HOST_EMIT_PLANES) > 4:
+        _HOST_EMIT_PLANES.popitem(last=False)
+    return planes
+
+
+def hotstate_sparse(m: CompiledMatcher, bits, n: int):
+    """Hotstate plane -> ``(idx, masks[P])`` — the same contract as
+    ``planes_to_sparse`` on the emit-plane engines, so every downstream
+    consumer (sparse extraction, fused native extract+resolve) is shared.
+    """
+    S = m.num_states
+    sb = max(int(S - 1).bit_length(), 1)
+    smask = np.uint32((1 << sb) - 1)
+    planes_tab = host_emit_planes(m)
+    sp = planes_to_sparse(bits, n)
+    if sp is not None:
+        idx, packed = sp
+        states = (packed[:, 0] & smask).astype(np.int64)
+        return idx, planes_tab[states]
+    v = np.asarray(bits)[0, :n]
+    idx = np.nonzero(v)[0].astype(np.int64)
+    states = (v[idx] & smask).astype(np.int64)
+    return idx, planes_tab[states]
+
+
 def chunk_classes(cls: np.ndarray, chunk: int, halo: int) -> np.ndarray:
     """(B, halo + chunk) windows: chunk i covers [i*chunk, (i+1)*chunk) with a
     left halo (PAD_CLASS beyond the text; PAD resets lanes toward the root,
@@ -242,9 +326,14 @@ def batched_emit_planes(
     B = windows.shape[0]
     C = windows.shape[1] - halo
     state_mask = jnp.uint32((1 << state_bits) - 1)
+    # Flat 1D indexing: measured ~37% faster than the 2D ``table[s, c]``
+    # gather on big HBM tables (tools/probes/probe7.py part B: 67 vs 49
+    # M lookups/s on a 512 MB operand); the reshape is free (row-major).
+    A = jnp.uint32(table.shape[1])
+    tf = table.reshape(-1)
 
     def warm(s, c):
-        return table[s, c] & state_mask, None
+        return tf[s * A + c.astype(jnp.uint32)] & state_mask, None
 
     # Derive the root-state carry from the input so its sharding varyingness
     # matches inside shard_map bodies (plain zeros are 'replicated' there).
@@ -252,7 +341,7 @@ def batched_emit_planes(
     s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
 
     def step(s, c):
-        v = table[s, c]
+        v = tf[s * A + c.astype(jnp.uint32)]
         return v & state_mask, v >> jnp.uint32(state_bits)
 
     _, masks = lax.scan(step, s_h, windows[:, halo:].T)  # (C, B) emit masks
@@ -274,16 +363,18 @@ def batched_count(
     """Total match count: popcount of emit masks over all positions."""
     B = windows.shape[0]
     state_mask = jnp.uint32((1 << state_bits) - 1)
+    A = jnp.uint32(table.shape[1])  # flat indexing: see batched_emit_planes
+    tf = table.reshape(-1)
 
     def warm(s, c):
-        return table[s, c] & state_mask, None
+        return tf[s * A + c.astype(jnp.uint32)] & state_mask, None
 
     s0 = (windows[:, 0] * 0).astype(jnp.uint32)
     s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
 
     def step(carry, c):
         s, tot = carry
-        v = table[s, c]
+        v = tf[s * A + c.astype(jnp.uint32)]
         pop = jax.lax.population_count(v >> jnp.uint32(state_bits))
         return (v & state_mask, tot + jnp.sum(pop.astype(jnp.int32))), None
 
@@ -308,6 +399,8 @@ def split_emit_planes(
     B = windows.shape[0]
     C = windows.shape[1] - halo
     A = jnp.int32(num_classes)
+    P = jnp.int32(emit_tab.shape[1])
+    ef = emit_tab.reshape(-1)  # flat: see batched_emit_planes
 
     def warm(s, c):
         return dfa_flat[s * A + c], None
@@ -318,9 +411,11 @@ def split_emit_planes(
     def step(s, c):
         s2 = dfa_flat[s * A + c]
         if num_planes == 1:
-            em = emit_tab[s2, 0][:, None]
+            em = ef[s2 * P][:, None]
         else:
-            em = emit_tab[s2]  # (B, P)
+            em = jnp.stack(
+                [ef[s2 * P + jnp.int32(p)] for p in range(num_planes)], axis=1
+            )  # (B, P)
         return s2, em
 
     _, masks = lax.scan(step, s_h, windows[:, halo:].T)  # (C, B, P)
@@ -338,6 +433,8 @@ def split_count(
     num_planes: int,
 ) -> jax.Array:
     A = jnp.int32(num_classes)
+    P = jnp.int32(emit_tab.shape[1])
+    ef = emit_tab.reshape(-1)  # flat: see batched_emit_planes
 
     def warm(s, c):
         return dfa_flat[s * A + c], None
@@ -350,7 +447,7 @@ def split_count(
         s2 = dfa_flat[s * A + c]
         pop = jnp.zeros(s2.shape, jnp.int32)
         for p in range(num_planes):
-            pop = pop + lax.population_count(emit_tab[s2, p]).astype(jnp.int32)
+            pop = pop + lax.population_count(ef[s2 * P + jnp.int32(p)]).astype(jnp.int32)
         return (s2, tot + jnp.sum(pop)), None
 
     tot0 = (windows[0, 0] * 0).astype(jnp.int32)
@@ -468,16 +565,22 @@ def end_planes_to_matches(bits: np.ndarray, n: int, max_depth: int):
     return np.concatenate(starts_l), lens
 
 
-def ac_matches_batched(m: CompiledMatcher, cls: np.ndarray, bits):
+def ac_matches_batched(m: CompiledMatcher, cls: np.ndarray, bits,
+                       layout: str = "planes"):
     """(starts, ends, vals) in reference emission order from end-planes.
 
     ``bits`` may be the device array straight from an engine (preferred —
     hot positions are compacted on device and only they are downloaded) or
-    a host numpy array (dense path)."""
+    a host numpy array (dense path).  ``layout`` says how to decode ``bits``:
+    ``"planes"`` = END-indexed emit planes, ``"hotstate"`` = the packed
+    (state, count) plane of ``packedcount_hotstate_plane`` (pass the
+    producing ``EnginePlan.which``-derived value; see ``ops.dispatch``)."""
     from ahocorasick_tpu.ops import emit as emit_mod
 
-    sp = planes_to_sparse(bits, len(cls))
-    if sp is not None:
+    if layout == "hotstate":
+        idx, masks = hotstate_sparse(m, bits, len(cls))
+        starts, lens = sparse_planes_to_matches(idx, masks, m.max_depth)
+    elif (sp := planes_to_sparse(bits, len(cls))) is not None:
         starts, lens = sparse_planes_to_matches(sp[0], sp[1], m.max_depth)
     else:
         starts, lens = end_planes_to_matches(np.asarray(bits), len(cls), m.max_depth)

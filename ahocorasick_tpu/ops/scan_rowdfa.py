@@ -48,10 +48,12 @@ from jax import lax
 from ahocorasick_tpu.core.compiler import CompiledMatcher
 from ahocorasick_tpu.ops.scan_batched import PAD_CLASS, build_packed, effective_rows
 
-# VMEM on v5e is ~16 MB/core; leave headroom for window blocks and outputs.
-# Tables over the budget fall off the fast row-gather cliff (see module doc).
-_MAX_BYTES = 6 << 20       # stride-2 table budget
-_MAX_BYTES_1 = 10 << 20    # stride-1 table budget
+# Measured VMEM-residency cliff (tools/probes/probe7.py part A, real v5e):
+# the row-gather rate holds 385-390 M rows/s through a 16 MB table and
+# drops to ~110-118 M rows/s at 32 MB+ (XLA stops staging the operand in
+# VMEM).  Budgets sit at the measured-good 16 MB.
+_MAX_BYTES = 16 << 20      # stride-2 table budget
+_MAX_BYTES_1 = 16 << 20    # stride-1 table budget
 # The fused column select does A_pad one-hot ops per character per lane; the
 # measured cost model holds for narrow alphabets (the dense-matcher norm).
 # Wide-alphabet quotient tables (few rows x tens of thousands of classes)

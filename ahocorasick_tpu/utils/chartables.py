@@ -13,24 +13,41 @@ We reproduce both as dense numpy tables of size 65536 so that every engine
 
 Fidelity notes
 --------------
-* Python's ``str.lower()`` implements the *full* case mapping; Java uses the
-  *simple* one.  Over the BMP they differ only at U+0130 (LATIN CAPITAL
-  LETTER I WITH DOT ABOVE), whose full mapping is two code points but whose
-  simple (Java) mapping is ``U+0069 'i'`` — patched explicitly below.
-* Tables follow the Unicode version of the running CPython (15.0 here),
-  which matches modern JVMs.  Java 7 shipped Unicode 6.0; a handful of rare
-  code points gained case mappings / categories since.  This is documented
-  divergence, pinned by ``tests/test_chartables.py`` golden samples.
+* Both tables load from a COMMITTED FIXTURE
+  (``utils/data/chartables_bmp.npz``), generated once and pinned by
+  SHA-256 in ``tests/test_chartables.py`` — the semantics are data, not a
+  function of whatever Unicode version the running CPython ships.
+  ``tests/test_chartables.py`` also regenerates the fixture from CPython's
+  ``unicodedata`` + the patch list below and asserts equality, so a future
+  CPython/Unicode bump is surfaced as a test failure (a deliberate
+  decision point), never a silent semantic change.
+* Python's ``str.lower()`` implements the *full* case mapping; Java uses
+  the *simple* one.  Over the BMP they differ only at U+0130 (LATIN
+  CAPITAL LETTER I WITH DOT ABOVE), whose full mapping is two code points
+  but whose simple (Java) mapping is ``U+0069 'i'`` — patched explicitly.
+* The fixture encodes Unicode 15.0 (CPython 3.12), which matches modern
+  JVMs (Java 20+ ships 15.0).  The reference targets Java 7 = Unicode
+  6.0; code points assigned or case-changed between 6.0 and 15.0 diverge.
+  This build environment has no JVM and no network, so the exact 6.0
+  delta cannot be enumerated here (CPython bundles only 15.0 and 3.2 —
+  neither brackets 6.0 from the right side); the divergence is therefore
+  documented as: "Character tables match a modern JVM, not Java 7, for
+  code points whose properties changed after Unicode 6.0".  Behavior on
+  every character the reference's own test corpus exercises is identical
+  (those are all long-stable code points).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 import unicodedata
 
 import numpy as np
 
 BMP = 65536
+
+_FIXTURE = os.path.join(os.path.dirname(__file__), "data", "chartables_bmp.npz")
 
 # Java's simple lowercase mapping diverges from Python str.lower() here.
 _SIMPLE_LOWER_PATCHES = {
@@ -39,8 +56,34 @@ _SIMPLE_LOWER_PATCHES = {
 
 
 @functools.lru_cache(maxsize=1)
+def _fixture():
+    return np.load(_FIXTURE)
+
+
+@functools.lru_cache(maxsize=1)
 def lower_table() -> np.ndarray:
-    """uint16[65536]: Java ``Character.toLowerCase`` per UTF-16 code unit."""
+    """uint16[65536]: Java ``Character.toLowerCase`` per UTF-16 code unit.
+
+    Loaded from the committed fixture (module docstring); regeneration
+    logic lives in ``compute_lower_table``.
+    """
+    return _fixture()["lower"]
+
+
+@functools.lru_cache(maxsize=1)
+def letter_or_digit_table() -> np.ndarray:
+    """bool[65536]: Java ``Character.isLetterOrDigit`` per UTF-16 unit.
+
+    Loaded from the committed fixture (module docstring); regeneration
+    logic lives in ``compute_letter_or_digit_table``.
+    """
+    return _fixture()["letter_or_digit"]
+
+
+def compute_lower_table() -> np.ndarray:
+    """Regenerate the simple-lowercase table from the running CPython's
+    Unicode data + the simple-mapping patches (fixture generator; the
+    fixture-equality test keeps this and the data in lockstep)."""
     tab = np.arange(BMP, dtype=np.uint32)
     for cp in range(BMP):
         low = chr(cp).lower()
@@ -53,9 +96,8 @@ def lower_table() -> np.ndarray:
     return tab.astype(np.uint16)
 
 
-@functools.lru_cache(maxsize=1)
-def letter_or_digit_table() -> np.ndarray:
-    """bool[65536]: Java ``Character.isLetterOrDigit`` per UTF-16 code unit."""
+def compute_letter_or_digit_table() -> np.ndarray:
+    """Regenerate the L*/Nd category table (fixture generator)."""
     cats = ("Lu", "Ll", "Lt", "Lm", "Lo", "Nd")
     tab = np.zeros(BMP, dtype=bool)
     for cp in range(BMP):

@@ -1,8 +1,41 @@
-"""Pin the Java-parity character tables with golden samples."""
+"""Pin the Java-parity character tables: fixture hashes + golden samples.
+
+The tables are committed data (``utils/data/chartables_bmp.npz``), not a
+runtime function of CPython's Unicode version; the full-table SHA-256 pins
+make ANY change to the 65536-entry semantics an explicit test failure, and
+the regeneration check keeps the fixture and its generator in lockstep
+(SURVEY.md §7 hard-part 3: tables as fixture data, not approximation).
+"""
+
+import hashlib
 
 import numpy as np
 
 from ahocorasick_tpu.utils import chartables
+
+LOWER_SHA256 = "72f71c0202fd6e47eea7ee0d54cf1d08aab9494f6f0fa0a63050045b0919e08e"
+LOD_SHA256 = "295aebe50779cddc324956cf6e315fd191185a4800d16276ca8837008d1af627"
+
+
+def test_full_table_hashes_pinned():
+    lo = chartables.lower_table()
+    ld = chartables.letter_or_digit_table()
+    assert lo.dtype == np.uint16 and lo.shape == (65536,)
+    assert ld.dtype == np.bool_ and ld.shape == (65536,)
+    assert hashlib.sha256(lo.tobytes()).hexdigest() == LOWER_SHA256
+    assert hashlib.sha256(ld.tobytes()).hexdigest() == LOD_SHA256
+
+
+def test_fixture_matches_generator():
+    """A CPython/Unicode upgrade that changes the generated tables must
+    surface here as a deliberate decision point, not silently."""
+    np.testing.assert_array_equal(
+        chartables.lower_table(), chartables.compute_lower_table()
+    )
+    np.testing.assert_array_equal(
+        chartables.letter_or_digit_table(),
+        chartables.compute_letter_or_digit_table(),
+    )
 
 
 def test_lower_table_golden():

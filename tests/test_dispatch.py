@@ -74,3 +74,33 @@ def test_forced_batched_plan_matches_picked_plan():
     bp = np.asarray(picked.fn(picked.tables, wp))[:, : len(cls)]
     bf = np.asarray(forced.fn(forced.tables, wf))[:, : len(cls)]
     np.testing.assert_array_equal(bp, bf)
+
+
+def test_long_keyword_dictionary_plans_pick_hotstate():
+    # state_bits + max_depth > 32 (inline overflow) but counts fit:
+    # the planes plan outputs the packed (state, count) plane.
+    kws = ["a" * i for i in range(1, 101)] + ["bc", "cab"]
+    m = AhoCorasickSet(kws, engine="device")
+    assert not scan_batched.inline_packable(m.compiled)
+    assert scan_batched.hotstate_layout(m.compiled)
+    plan = dispatch.planes_plan(m.compiled, m.dev)
+    assert plan.which == "hotstate"
+
+
+def test_hotstate_matcher_conformance_long_keywords():
+    from ahocorasick_tpu.models.matchers import (
+        AhoCorasickMap,
+        LongestMatchSet,
+        ShortestMatchSet,
+    )
+
+    kws = ["a" * i for i in range(1, 80)] + ["ab", "ba", "bb"]
+    text = ("aab" * 300 + "a" * 150 + "b") * 2
+    for cls_m in (AhoCorasickSet, LongestMatchSet, ShortestMatchSet):
+        dev = cls_m(kws, engine="device")
+        gold = cls_m(kws, engine="gold")
+        assert dev.match(text) == gold.match(text), cls_m.__name__
+    vals = list(range(len(kws)))
+    dev = AhoCorasickMap(kws, vals, engine="device")
+    gold = AhoCorasickMap(kws, vals, engine="gold")
+    assert dev.match(text) == gold.match(text)

@@ -120,3 +120,41 @@ def test_native_backend_rejects_custom_thresholder():
     with pytest.raises(ValueError, match="thresholder"):
         compile_matcher(["he", "she"], "ac", True, backend="native",
                         thresholder=_AlwaysSparse())
+
+
+def test_rangenode_params_memory_vs_speed_ab():
+    """The knob's REAL effect, A/B measured: two RangeNodeThreshold
+    parameterizations flip the same dictionary between dense tables (more
+    memory, fastest paths) and the row-deduplicated layout (hash-consed
+    rows, less memory), with identical match output.  This is the honest
+    scope of the reference's per-node Thresholder in this architecture:
+    alphabet compaction + row hash-consing collapse the per-node economics
+    into one layout decision per automaton (utils/thresholds.py docstring),
+    and the parameters govern that decision through the fill factor
+    ``max_value - linear_factor/(constant_factor + 0)**exponent``.
+    """
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+
+    rng = np.random.default_rng(5)
+    # Wide-ish alphabet so dense costs real memory and rows dedup well.
+    alphabet = [chr(c) for c in range(0x100, 0x200)]
+    kws = sorted({
+        "".join(rng.choice(alphabet, size=int(rng.integers(2, 5))))
+        for _ in range(1500)
+    })
+    text = "".join(rng.choice(alphabet + [" "], size=4000))
+
+    # fill <= 0 -> always dense;  fill huge -> never dense (interval > 8).
+    dense_m = AhoCorasickSet(
+        kws, thresholder=RangeNodeThreshold(max_value=0.0, linear_factor=0.0))
+    sparse_m = AhoCorasickSet(
+        kws, thresholder=RangeNodeThreshold(max_value=1e9))
+
+    assert not dense_m.compiled.is_row_compressed
+    assert sparse_m.compiled.is_row_compressed
+    # Memory: the dense layout pays for (S+1) x A materialization (the
+    # factor depends on row dedup; the point is an observable, same-
+    # direction difference, not a specific ratio).
+    assert dense_m.compiled.memory_bytes() > 1.4 * sparse_m.compiled.memory_bytes()
+    # Semantics: identical matches either way.
+    assert dense_m.match(text) == sparse_m.match(text)
