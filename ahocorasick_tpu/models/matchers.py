@@ -72,7 +72,38 @@ def _device_capable(compiled: CompiledMatcher, kind: str) -> bool:
     )
 
 
-_AUTO_DEVICE_MIN_UNITS = 1 << 14
+_AUTO_DEVICE_MIN_UNITS = 1 << 14  # generic fallback (see _auto_min_units)
+
+
+def _auto_min_units(compiled: CompiledMatcher) -> int:
+    """Engine-aware auto threshold: input size above which the device path
+    beats the host gold loop.
+
+    The break-even is ``overhead / (gold_ns - engine_ns)`` per char; with
+    the gold loop at ~1 us/char and every device engine at 0.2-15 ns/char,
+    the denominator is dominated by gold, so the real differentiator is the
+    FIRST-call overhead: small block/rowdfa tables compile+upload in
+    milliseconds (threshold 4Ki units), mid-size packed tables in tens of
+    ms (16Ki), and huge split/hotstate tables pay an upload proportional
+    to table bytes (64Ki).  Constants follow the measured per-char cost
+    model in ``ops.scan_rowdfa.pick_engine`` and the upload rates in
+    docs/PERF.md.
+    """
+    try:
+        from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
+        from ahocorasick_tpu.kernels import scan_block
+
+        if compiled.dfa_next is None:
+            return _AUTO_DEVICE_MIN_UNITS
+        rows = scan_batched.effective_rows(compiled)
+        table_bytes = rows * compiled.num_classes * 4
+        if table_bytes > (48 << 20):
+            return 1 << 16
+        if scan_block.fits(compiled) or scan_rowdfa.fits1(compiled):
+            return 1 << 12
+        return _AUTO_DEVICE_MIN_UNITS
+    except Exception:
+        return _AUTO_DEVICE_MIN_UNITS
 # Lane counts are rounded up to this bucket so repeated calls with different
 # text lengths reuse compiled executables (padded lanes die without emitting).
 _LANE_BUCKET = 1 << 12
@@ -321,7 +352,10 @@ class _Matcher:
             return "gold"  # no quotient device layout for this kind
         if self.engine != "auto":
             return self.engine
-        return "device" if n_units >= _AUTO_DEVICE_MIN_UNITS else "gold"
+        thr = self.__dict__.get("_auto_min")
+        if thr is None:
+            thr = self.__dict__["_auto_min"] = _auto_min_units(self.compiled)
+        return "device" if n_units >= thr else "gold"
 
     def match_triples(self, text: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """All matches as (starts, ends, value_ids) numpy arrays, in the

@@ -475,6 +475,13 @@ class ShardedScanner:
         self.mesh = mesh if mesh is not None else data_mesh()
         self._inner = None  # shortest: lazy scanner over the internal AC
 
+    def _shard_boundaries(self, n: int, chunk: int = 512):
+        """Per-device shard cut positions in text coordinates (the same
+        split ``sharded_batched_planes`` uses) — the resolve stitch points."""
+        n_dev = self.mesh.devices.size
+        per = -(-max(n, 1) // (n_dev * chunk)) * chunk
+        return [per * i for i in range(1, n_dev)]
+
     def count(self, text: str) -> int:
         cls = self.matcher._classes(text)
         m = self.matcher.compiled
@@ -509,7 +516,16 @@ class ShardedScanner:
             if ac is not None and _device_capable(ac.compiled, "ac"):
                 if self._inner is None:
                     self._inner = ShardedScanner(ac, self.mesh)
-                return resolve_shortest(*self._inner.match_triples(text))
+                from ahocorasick_tpu.resolve.parallel import (
+                    resolve_shortest_sharded,
+                )
+
+                inner_cls_n = len(ac._classes(text))
+                return resolve_shortest_sharded(
+                    *self._inner.match_triples(text),
+                    boundaries=self._shard_boundaries(inner_cls_n),
+                    max_depth=ac.compiled.max_depth,
+                )
             from ahocorasick_tpu.core.stream import make_cursor
 
             trip = make_cursor(m).feed(cls, is_final=True)
@@ -539,8 +555,20 @@ class ShardedScanner:
                 pd.table, cls, pd.halo, pd.state_bits, planes, self.mesh
             )
             if m.kind == "longest":
-                # Fused native extraction + SetMatchQueue resolve.
-                return emit.resolve_end_planes(m, cls, bits, "longest")
+                # Shard-parallel resolve: each shard's candidates resolve
+                # locally (in a pod, on their own host) and the boundary
+                # (anchor, tail) stitch repairs interactions exactly —
+                # replaces the round-2 single-host global resolver funnel
+                # (resolve/parallel.py; SetMatchQueue.java:45-95 semantics).
+                from ahocorasick_tpu.resolve.parallel import (
+                    resolve_longest_sharded,
+                )
+
+                trip = scan_batched.ac_matches_batched(m, cls, bits)
+                return resolve_longest_sharded(
+                    *trip, boundaries=self._shard_boundaries(len(cls)),
+                    max_depth=m.max_depth,
+                )
             triples = scan_batched.ac_matches_batched(m, cls, bits)
         else:
             bits = sharded_bitplanes(
@@ -549,9 +577,12 @@ class ShardedScanner:
             )
             triples = emit.ac_matches(m, cls, bits[:, : len(cls)])
         if m.kind == "longest":
-            from ahocorasick_tpu.resolve.queue import resolve_longest
+            from ahocorasick_tpu.resolve.parallel import resolve_longest_sharded
 
-            return resolve_longest(*triples)
+            return resolve_longest_sharded(
+                *triples, boundaries=self._shard_boundaries(len(cls)),
+                max_depth=m.max_depth,
+            )
         if m.kind == "whole_word":
             # Vectorized boundary filter over AC candidates — the same
             # equivalence the single-chip device path uses (pure-word-char

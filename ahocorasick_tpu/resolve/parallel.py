@@ -1,0 +1,211 @@
+"""Shard-parallel non-overlap resolution with exact boundary stitching.
+
+Round-2 sharded longest/shortest funneled every shard's candidates into ONE
+host resolver pass — a single-host bottleneck at pod scale.  This module
+makes resolution shard-local: each shard resolves its OWN candidates
+speculatively (in a pod, on its own host, in parallel), and a cheap
+sequential stitch repairs the rare boundary interactions exactly.
+
+Why this is exact (longest, ``SetMatchQueue.java:45-95`` semantics):
+
+* Candidates are processed in (end asc, start asc) order; shard i owns
+  candidates with ``end`` in ``(b_i, b_{i+1}]``.  Every such candidate has
+  ``start >= b_i + 1 - d`` (keyword length <= d).
+* The *only* part of the accepted-so-far queue a future candidate can
+  observe is (a) entries with ``end > b_i - d`` (they can overlap it) and
+  (b) the single deepest entry with ``end <= b_i - d`` — the "anchor" —
+  which every candidate trivially appends after (``start > anchor.end``);
+  it matters only as the scan floor that stops rule-4 whole-queue
+  displacement (``MatchQueue.push``).  That (anchor, tail) pair is the
+  complete boundary state, the resolver analog of the d-synchronizing DFA
+  state carried across chunks.
+* If every shard-i candidate starts at/after the incoming tail's last end,
+  the queue tail is inert (append-only path) and the speculative
+  from-empty resolution of shard i is already exact — the common case on
+  real text.  Otherwise shard i is re-resolved seeded with (anchor, tail);
+  adversarial inputs (e.g. "ababab" parity chains) degrade to sequential
+  work but never to wrong output.
+
+For SHORTEST the boundary state is just the restart cursor ``p``
+(``resolve.queue.resolve_shortest``): a shard whose candidates all start
+at/after the incoming cursor keeps its speculative result; otherwise it is
+re-resolved with candidates filtered to ``start >= p`` (exactly how the
+reference's lagged restart loop would continue).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ahocorasick_tpu.resolve.queue import (
+    MatchQueue,
+    resolve_longest,
+    resolve_shortest,
+)
+
+Triple = Tuple[np.ndarray, np.ndarray, np.ndarray]
+
+
+def _empty() -> Triple:
+    z = np.zeros(0, dtype=np.int64)
+    return z, z.copy(), z.copy()
+
+
+def _split_by_end(starts, ends, vals, boundaries: Sequence[int]):
+    """Segment k owns candidates with end in (boundaries[k], boundaries[k+1]].
+
+    Candidates must already be sorted by (end asc, start asc) — the order
+    every extraction path produces."""
+    cuts = [int(np.searchsorted(ends, b, side="right")) for b in boundaries]
+    cuts = [0] + cuts + [len(ends)]
+    segs = []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        segs.append((starts[a:b], ends[a:b], vals[a:b]))
+    return segs
+
+
+def resolve_longest_sharded(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    vals: np.ndarray,
+    boundaries: Sequence[int],
+    max_depth: int,
+) -> Triple:
+    """Leftmost-longest resolve, shard-decomposed; output-identical to
+    ``resolve_longest`` over the full candidate arrays (tested)."""
+    if len(starts) == 0:
+        return _empty()
+    d = max(int(max_depth), 1)
+    segs = _split_by_end(starts, ends, vals, boundaries)
+    bounds = [-(1 << 60)] + [int(b) for b in boundaries] + [1 << 62]
+
+    # Phase A — speculative per-shard resolves (parallel across hosts in a
+    # pod; each host only ever touches its own shard's candidates).
+    spec = [resolve_longest(*seg) if len(seg[0]) else _empty() for seg in segs]
+
+    # Phase B — sequential stitch carrying the exact (anchor, tail) state.
+    out_s: List[np.ndarray] = []
+    out_e: List[np.ndarray] = []
+    out_v: List[np.ndarray] = []
+    anchor = None  # (start, end, val) of the deepest inert accepted match
+    tail: List[Tuple[int, int, int]] = []  # accepted with end > b_k - d
+
+    for k, seg in enumerate(segs):
+        b_lo = bounds[k]
+        if len(seg[0]) == 0:
+            continue
+        tail_last_end = tail[-1][1] if tail else (anchor[1] if anchor else -(1 << 60))
+        if int(seg[0].min()) >= tail_last_end:
+            rs, re_, rv = spec[k]
+        else:
+            # Exact re-resolve seeded with the boundary state.
+            q = MatchQueue()
+            if anchor is not None:
+                q.push(*anchor)
+            for t in tail:
+                q.push(*t)
+            n_seed = len(q._starts)
+            for s, e, v in zip(seg[0].tolist(), seg[1].tolist(), seg[2].tolist()):
+                q.push(s, e, v)
+            resolved = q.drain()
+            # Seeded entries may have been displaced/replaced: the entries
+            # at/after the first change replace the already-emitted tail.
+            seed = ([anchor] if anchor is not None else []) + tail
+            keep = 0
+            while (keep < n_seed and keep < len(resolved)
+                   and resolved[keep] == seed[keep]):
+                keep += 1
+            dropped = len(seed) - keep  # emitted entries now invalid
+            if dropped:
+                _drop_trailing(out_s, out_e, out_v, dropped)
+                if anchor is not None and keep == 0:
+                    anchor = None
+            new = resolved[keep:]
+            rs = np.asarray([t[0] for t in new], dtype=np.int64)
+            re_ = np.asarray([t[1] for t in new], dtype=np.int64)
+            rv = np.asarray([t[2] for t in new], dtype=np.int64)
+            # Rebuild tail bookkeeping below from the full resolved list.
+            tail = []
+        out_s.append(rs)
+        out_e.append(re_)
+        out_v.append(rv)
+        # New boundary state for the next shard (cut at bounds[k+1]).
+        b_next = bounds[k + 1]
+        anchor, tail = _state_from_emitted(out_s, out_e, out_v, b_next, d,
+                                           anchor)
+    if not out_s:
+        return _empty()
+    return (np.concatenate(out_s), np.concatenate(out_e),
+            np.concatenate(out_v))
+
+
+def _drop_trailing(out_s, out_e, out_v, n: int) -> None:
+    """Remove the last ``n`` emitted matches across the chunked lists."""
+    while n > 0 and out_s:
+        take = min(n, len(out_s[-1]))
+        if take == len(out_s[-1]):
+            out_s.pop(); out_e.pop(); out_v.pop()
+        else:
+            out_s[-1] = out_s[-1][:-take]
+            out_e[-1] = out_e[-1][:-take]
+            out_v[-1] = out_v[-1][:-take]
+        n -= take
+
+
+def _state_from_emitted(out_s, out_e, out_v, boundary: int, d: int,
+                        prev_anchor):
+    """(anchor, tail) at ``boundary`` from the emitted-so-far matches."""
+    tail: List[Tuple[int, int, int]] = []
+    anchor = prev_anchor
+    # Walk back over emitted matches until ends drop to <= boundary - d.
+    found_anchor = False
+    for k in range(len(out_s) - 1, -1, -1):
+        es = out_e[k]
+        for j in range(len(es) - 1, -1, -1):
+            e = int(es[j])
+            if e > boundary - d:
+                tail.append((int(out_s[k][j]), e, int(out_v[k][j])))
+            else:
+                anchor = (int(out_s[k][j]), e, int(out_v[k][j]))
+                found_anchor = True
+                break
+        if found_anchor:
+            break
+    tail.reverse()
+    return anchor, tail
+
+
+def resolve_shortest_sharded(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    vals: np.ndarray,
+    boundaries: Sequence[int],
+    max_depth: int,
+) -> Triple:
+    """Leftmost-shortest resolve, shard-decomposed; output-identical to
+    ``resolve_shortest`` over the full candidate arrays (tested)."""
+    if len(starts) == 0:
+        return _empty()
+    segs = _split_by_end(starts, ends, vals, boundaries)
+    spec = [resolve_shortest(*seg) if len(seg[0]) else _empty() for seg in segs]
+    out: List[Triple] = []
+    p = -(1 << 60)  # restart cursor
+    for k, seg in enumerate(segs):
+        if len(seg[0]) == 0:
+            continue
+        if int(seg[0].min()) >= p:
+            rs, re_, rv = spec[k]
+        else:
+            keep = seg[0] >= p
+            rs, re_, rv = resolve_shortest(seg[0][keep], seg[1][keep],
+                                           seg[2][keep])
+        if len(rs):
+            out.append((rs, re_, rv))
+            p = int(re_[-1])
+    if not out:
+        return _empty()
+    return (np.concatenate([t[0] for t in out]),
+            np.concatenate([t[1] for t in out]),
+            np.concatenate([t[2] for t in out]))

@@ -104,3 +104,20 @@ def test_hotstate_matcher_conformance_long_keywords():
     dev = AhoCorasickMap(kws, vals, engine="device")
     gold = AhoCorasickMap(kws, vals, engine="gold")
     assert dev.match(text) == gold.match(text)
+
+
+def test_auto_threshold_is_engine_aware():
+    from ahocorasick_tpu.models import matchers
+
+    small = AhoCorasickSet(["abc", "bcd", "cde"])  # block-engine dict
+    big_kws = ["a" * i for i in range(1, 90)] + ["bc"]  # hotstate-size depth
+    assert matchers._auto_min_units(small.compiled) == 1 << 12
+    rng = np.random.default_rng(0)
+    mid = AhoCorasickSet(sorted({
+        "".join(rng.choice(list("abcdefghijklmnop"), size=int(rng.integers(3, 9))))
+        for _ in range(30000)}))
+    thr_mid = matchers._auto_min_units(mid.compiled)
+    assert thr_mid >= 1 << 12
+    # Engine choice follows the per-matcher threshold.
+    assert small._pick_engine(1 << 12) == "device"
+    assert small._pick_engine((1 << 12) - 1) == "gold"
