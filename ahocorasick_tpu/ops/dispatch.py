@@ -43,12 +43,12 @@ def _regroup_in_jit(windows):
     return wt.reshape(G * W * 8, 128), W, G
 
 
-def count_plan(compiled, dev) -> EnginePlan:
+def count_plan(compiled, dev, allow_block: bool = True) -> EnginePlan:
     """Plan for the fused COUNT kernels (popcount summed on device)."""
     from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
 
     A = compiled.num_classes
-    which = scan_rowdfa.pick_engine(compiled)
+    which = scan_rowdfa.pick_engine(compiled, allow_block=allow_block)
     if which == "block":
         from ahocorasick_tpu.kernels import scan_block
 
@@ -86,14 +86,17 @@ def count_plan(compiled, dev) -> EnginePlan:
     return EnginePlan("batched", pd.halo, (pd.table,), fn)
 
 
-def planes_plan(compiled, dev, force_batched: bool = False) -> EnginePlan:
+def planes_plan(compiled, dev, force_batched: bool = False,
+                allow_block: bool = True) -> EnginePlan:
     """Plan for the END-indexed emit-plane kernels (``uint32[P, N]`` bits).
 
     ``force_batched`` skips the row/block engines (the matchers'
-    ``device_engine="batched"`` cross-check knob)."""
+    ``device_engine="batched"`` cross-check knob); ``allow_block=False``
+    only excludes the Pallas block kernel (see ``pick_engine``)."""
     from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
 
-    which = "batched" if force_batched else scan_rowdfa.pick_engine(compiled)
+    which = ("batched" if force_batched
+             else scan_rowdfa.pick_engine(compiled, allow_block=allow_block))
     if which == "block":
         from ahocorasick_tpu.kernels import scan_block
 

@@ -156,8 +156,13 @@ _NS_ROWDFA2 = 1.33  # one row gather per TWO characters
 _NS_BLOCK_BASE, _NS_BLOCK_PER_R = 0.19, 0.00179  # VPU select chain, R rounds
 
 
-def pick_engine(m: CompiledMatcher) -> str:
-    """Fastest applicable device engine by measured per-char cost model."""
+def pick_engine(m: CompiledMatcher, allow_block: bool = True) -> str:
+    """Fastest applicable device engine by measured per-char cost model.
+
+    ``allow_block=False`` excludes the Pallas block kernel — used by the
+    sharded builders on non-TPU backends, where pallas runs in interpret
+    mode and a many-round select chain under shard_map is pathologically
+    slow (the CPU test mesh); every other engine is plain XLA."""
     from ahocorasick_tpu.kernels import scan_block
 
     cands = [("batched", _NS_BATCHED)]
@@ -165,7 +170,7 @@ def pick_engine(m: CompiledMatcher) -> str:
         cands.append(("rowdfa1", _NS_ROWDFA1))
     if fits(m):
         cands.append(("rowdfa2", _NS_ROWDFA2))
-    if scan_block.fits(m):
+    if allow_block and scan_block.fits(m):
         R = -(-(effective_rows(m) * m.num_classes) // 128)
         cands.append(("block", _NS_BLOCK_BASE + _NS_BLOCK_PER_R * R))
     return min(cands, key=lambda kv: kv[1])[0]

@@ -411,8 +411,11 @@ def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
     n_dev = mesh.devices.size
     # One shared engine switch (ops/dispatch.py): the same plan the
     # single-chip count and the bench kernel-rate harness run; the block
-    # engine's lane regroup happens in-jit inside plan.fn.
-    plan = dispatch.count_plan(m, matcher.dev)
+    # engine's lane regroup happens in-jit inside plan.fn.  Off-TPU, pallas
+    # runs interpreted and a many-round block chain under shard_map is
+    # pathologically slow, so the CPU test mesh skips it (output-identical).
+    plan = dispatch.count_plan(
+        m, matcher.dev, allow_block=jax.default_backend() == "tpu")
     which, halo, kernel = plan.which, plan.halo, plan.fn
 
     def prepare(cls: np.ndarray):
@@ -453,6 +456,60 @@ def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
     return prepare, count, which
 
 
+def make_sharded_planes(matcher, mesh: Mesh, chunk: int = 512):
+    """Plan-driven sharded emit-plane scan: ``(fn, which)`` where
+    ``fn(cls) -> np.ndarray[P, N_padded]``.
+
+    Same structure as ``make_sharded_counter`` but for the planes plans —
+    every engine the dispatcher can pick (block / rowdfa / batched / split
+    / hotstate) runs under ``shard_map`` with the halo ppermute, so huge
+    dictionaries (split/hotstate layouts) shard-scan at their single-chip
+    engine rate instead of falling back to the trie walk.  ``which`` tells
+    the caller how to decode (``"hotstate"`` = packed (state, count) plane,
+    else END-indexed emit planes).
+    """
+    from ahocorasick_tpu.ops import dispatch, scan_batched
+
+    m = matcher.compiled
+    plan = dispatch.planes_plan(
+        m, matcher.dev, allow_block=jax.default_backend() == "tpu")
+    which, halo, kernel = plan.which, plan.halo, plan.fn
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+
+    table_specs = tuple(P(*([None] * np.ndim(t))) for t in plan.tables)
+
+    @jax.jit
+    def run_all(tables, cls_dev):
+        @functools.partial(
+            shard_map, mesh=mesh, in_specs=(table_specs, P(axis)),
+            out_specs=P(None, axis), check_vma=False,
+        )
+        def run(tables, cls_local):
+            hl = _left_halo(cls_local, halo, axis, n_dev)
+            windows = _windows_on_device(
+                jnp.concatenate([hl, cls_local]), chunk, halo)
+            # Engines that bucket lanes (block) emit planes longer than the
+            # shard; the true text positions are the leading ones — trim so
+            # the all-shard concatenation is contiguous in text order.
+            return kernel(tables, windows)[:, : cls_local.shape[0]]
+
+        return run(tables, cls_dev)
+
+    def fn(cls: np.ndarray) -> np.ndarray:
+        from jax.sharding import NamedSharding
+
+        n = len(cls)
+        per = -(-max(n, 1) // (n_dev * chunk)) * chunk
+        cls_p = np.pad(cls, (0, per * n_dev - n),
+                       constant_values=scan_batched.PAD_CLASS)
+        cls_dev = jax.device_put(
+            jnp.asarray(cls_p.astype(np.int32)), NamedSharding(mesh, P(axis)))
+        return np.asarray(run_all(plan.tables, cls_dev))
+
+    return fn, which
+
+
 class ShardedScanner:
     """Data-parallel façade over a compiled AC-kind matcher.
 
@@ -474,6 +531,8 @@ class ShardedScanner:
         self.matcher = matcher
         self.mesh = mesh if mesh is not None else data_mesh()
         self._inner = None  # shortest: lazy scanner over the internal AC
+        self._counter = None  # lazy plan-driven sharded count closures
+        self._planes = None  # lazy plan-driven sharded planes closures
 
     def _shard_boundaries(self, n: int, chunk: int = 512):
         """Per-device shard cut positions in text coordinates (the same
@@ -486,11 +545,14 @@ class ShardedScanner:
         cls = self.matcher._classes(text)
         m = self.matcher.compiled
         if m.kind == "ac":
-            pd = self.matcher.dev.packed_dfa
-            if pd.emit_mask is None:
-                return sharded_batched_count(
-                    pd.table, cls, pd.halo, pd.state_bits, self.mesh
-                )
+            # Plan-driven: the same dispatcher switch as single-chip —
+            # covers packed/batched, rowdfa, block, AND the huge-dictionary
+            # packedcount layout (previously only packed-inline dicts had a
+            # fused sharded count; 1M-keyword dicts fell to the trie walk).
+            if self._counter is None:
+                self._counter = make_sharded_counter(self.matcher, self.mesh)
+            prepare, count, _ = self._counter
+            return int(count(prepare(cls), reps=1))
         if m.kind in ("longest", "shortest", "whole_word", "whole_word_longest"):
             # Counting needs the resolved/filtered match set for these kinds
             # (non-overlap resolution and boundary filtering change counts).
@@ -545,38 +607,24 @@ class ShardedScanner:
                 return z, z, z.copy()
             a = np.asarray(trip, dtype=np.int64)
             return a[:, 0], a[:, 1], a[:, 2]
-        d = max(m.max_depth, 1)
-        planes = (d + 31) // 32
-        pd = self.matcher.dev.packed_dfa
-        if pd.emit_mask is None:
-            from ahocorasick_tpu.ops import scan_batched
+        from ahocorasick_tpu.ops import scan_batched
 
-            bits = sharded_batched_planes(
-                pd.table, cls, pd.halo, pd.state_bits, planes, self.mesh
-            )
-            if m.kind == "longest":
-                # Shard-parallel resolve: each shard's candidates resolve
-                # locally (in a pod, on their own host) and the boundary
-                # (anchor, tail) stitch repairs interactions exactly —
-                # replaces the round-2 single-host global resolver funnel
-                # (resolve/parallel.py; SetMatchQueue.java:45-95 semantics).
-                from ahocorasick_tpu.resolve.parallel import (
-                    resolve_longest_sharded,
-                )
-
-                trip = scan_batched.ac_matches_batched(m, cls, bits)
-                return resolve_longest_sharded(
-                    *trip, boundaries=self._shard_boundaries(len(cls)),
-                    max_depth=m.max_depth,
-                )
-            triples = scan_batched.ac_matches_batched(m, cls, bits)
-        else:
-            bits = sharded_bitplanes(
-                m, self.matcher.dev.trie_next, self.matcher.dev.is_match, cls,
-                self.mesh, planes,
-            )
-            triples = emit.ac_matches(m, cls, bits[:, : len(cls)])
+        # Plan-driven sharded scan: the dispatcher's picked engine (block /
+        # rowdfa / batched / split / hotstate) runs under shard_map with the
+        # halo ppermute, so every dictionary size shard-scans at its
+        # single-chip engine rate.
+        if self._planes is None:
+            self._planes = make_sharded_planes(self.matcher, self.mesh)
+        fn, which = self._planes
+        bits = fn(cls)
+        layout = "hotstate" if which == "hotstate" else "planes"
+        triples = scan_batched.ac_matches_batched(m, cls, bits, layout=layout)
         if m.kind == "longest":
+            # Shard-parallel resolve: each shard's candidates resolve
+            # locally (in a pod, on their own host) and the boundary
+            # (anchor, tail) stitch repairs interactions exactly —
+            # replaces the round-2 single-host global resolver funnel
+            # (resolve/parallel.py; SetMatchQueue.java:45-95 semantics).
             from ahocorasick_tpu.resolve.parallel import resolve_longest_sharded
 
             return resolve_longest_sharded(

@@ -137,7 +137,8 @@ def test_row_compressed_shortest_device_engine(monkeypatch):
     # the block engine itself is pinned by test_block.py.)
     from ahocorasick_tpu.ops import scan_rowdfa
 
-    monkeypatch.setattr(scan_rowdfa, "pick_engine", lambda m: "batched")
+    monkeypatch.setattr(scan_rowdfa, "pick_engine",
+                    lambda m, allow_block=True: "batched")
     m = ShortestMatchSet(FULL_KWS, engine="device")
     text = _text(800)
     got = m.match(text)
@@ -229,7 +230,8 @@ def test_sharded_counter_row_compressed(monkeypatch):
     monkeypatch.setattr(comp, "_DENSE_LIMIT", 4)
     # Pin the engine: the natural pick for tiny quotients is the Pallas
     # block kernel, which is slow to build in CPU interpret mode.
-    monkeypatch.setattr(scan_rowdfa, "pick_engine", lambda m: "batched")
+    monkeypatch.setattr(scan_rowdfa, "pick_engine",
+                    lambda m, allow_block=True: "batched")
     rng = np.random.default_rng(43)
     kws = ["ab", "bca", "a", "cc"]
     text = "".join(rng.choice(list("abcde "), size=4000))

@@ -121,9 +121,11 @@ def test_make_sharded_counter_all_tiers():
 
     for label, kws in cases.items():
         m = AhoCorasickSet(kws, engine="gold")
-        which = scan_rowdfa.pick_engine(m.compiled)
+        # Sharded builders exclude the Pallas block engine off-TPU
+        # (interpret mode under shard_map; see pick_engine docstring).
+        which = scan_rowdfa.pick_engine(m.compiled, allow_block=False)
         if label == "block":
-            assert which == "block"
+            assert scan_rowdfa.pick_engine(m.compiled) == "block"
         if label == "batched":
             assert which == "batched"
         text = "".join(rng.choice(list("abhersx "), size=7001))
@@ -179,3 +181,21 @@ def test_sharded_table_count_tp_analog():
     )
     assert got == len(gold.gold_match(m.compiled, text))
     assert got > 0
+
+
+def test_sharded_hotstate_planes_long_keywords():
+    """Huge-dict layout sharded: the plan-driven planes path runs the
+    hotstate one-gather kernel under shard_map and decodes exactly."""
+    from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
+
+    kws = ["a" * i for i in range(1, 80)] + ["ab", "ba", "bb"]
+    m = act.AhoCorasickSet(kws, True, engine="device")
+    assert scan_batched.hotstate_layout(m.compiled)
+    sc = ShardedScanner(m, data_mesh())
+    rng = random.Random(7)
+    text = _random_text(rng, 9000, "ab")
+    s, e, v = sc.match_triples(text)
+    got = list(zip(s.tolist(), e.tolist()))
+    want = [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
+    assert got == want
+    assert sc.count(text) == len(want)
