@@ -218,6 +218,18 @@ class _CandidateSource:
                 self._plan = dispatch.planes_plan(self.m, self._dev)
             plan = self._plan
             windows = scan_batched.chunk_classes(buf, _STREAM_CHUNK, plan.halo)
+            # Bucket the lane count to a power of two so varying feed sizes
+            # reuse compiled executables (matchers' _LANE_BUCKET rationale;
+            # PAD_CLASS lanes park at the root and never emit, and the
+            # extraction trims to len(buf)).
+            B = windows.shape[0]
+            Bp = 8
+            while Bp < B:
+                Bp *= 2
+            if Bp != B:
+                pad = np.full((Bp - B, windows.shape[1]), scan_batched.PAD_CLASS,
+                              dtype=windows.dtype)
+                windows = np.concatenate([windows, pad], axis=0)
             bits = plan.fn(plan.tables, jnp.asarray(windows))
             layout = "hotstate" if plan.which == "hotstate" else "planes"
             starts, ends, vals = scan_batched.ac_matches_batched(
@@ -238,7 +250,11 @@ class _DfaCursor:
     """Streaming cursor for the AC / Longest / Shortest kinds.
 
     Cross-feed state is the class tail (last ``max_depth`` units) plus the
-    global offset; see ``_CandidateSource`` for why that is exact.
+    global offset; see ``_CandidateSource`` for why that is exact.  Resume
+    points saved by pre-tail builds ({"state", "off"}) still load: the
+    cursor runs the sequential state-carry scan until ``max_depth`` units
+    have been consumed, at which point the tail fully determines the state
+    (d-synchronization) and it converges back to the engine path.
     """
 
     def __init__(self, m: CompiledMatcher, dev=None, engine: str = "auto"):
@@ -246,11 +262,36 @@ class _DfaCursor:
         self.src = _CandidateSource(m, dev, engine)
         self.tail = np.zeros(0, dtype=np.int32)
         self.off = 0  # global index of the next unit
+        self._legacy_state: Optional[int] = None
+        self._legacy_seq = None
+        self._since_legacy = 0
 
     def _advance(self, buf: np.ndarray, n_new: int) -> None:
         self.off += n_new
         keep = min(len(buf), self.src.halo)
         self.tail = np.asarray(buf[len(buf) - keep:], dtype=np.int32)
+
+    def _feed_candidates_global(self, cls: np.ndarray):
+        """New matches this feed as GLOBAL (starts, ends, vals), advancing
+        the cursor; legacy-resumed cursors take the state-carry path until
+        the tail is fully determined."""
+        if self._legacy_state is not None:
+            if self._legacy_seq is None:
+                self._legacy_seq = _SeqScan(self.m.dfa_next)
+            states, self._legacy_state = self._legacy_seq.states(
+                cls, self._legacy_state)
+            starts, ends, vals = expand_state_emits(self.m, states, self.off)
+            self.off += len(cls)
+            self.tail = np.concatenate([self.tail, cls])[-self.src.halo:]
+            self._since_legacy += len(cls)
+            if self._since_legacy >= self.src.halo:
+                self._legacy_state = None  # tail now determines the state
+            return starts, ends, vals
+        buf = np.concatenate([self.tail, cls]) if len(self.tail) else cls
+        off0 = self.off - len(self.tail)
+        starts, ends, vals = self.src.candidates(buf, self.off - off0)
+        self._advance(buf, len(cls))
+        return starts + off0, ends + off0, vals
 
     def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:
         raise NotImplementedError
@@ -259,52 +300,61 @@ class _DfaCursor:
         """JSON-safe resume point.  The reference's cross-chunk invariant is
         one node pointer (``AhoCorasickMap.java:208-275``); here it is the
         class tail that determines that node (d-synchronization)."""
+        if self._legacy_state is not None:
+            return {"state": int(self._legacy_state), "off": int(self.off)}
         return {"tail": self.tail.tolist(), "off": int(self.off)}
 
     def load_state_dict(self, d: dict) -> None:
-        self.tail = np.asarray(d["tail"], dtype=np.int32)
         self.off = int(d["off"])
+        if "tail" in d:
+            self.tail = np.asarray(d["tail"], dtype=np.int32)
+            self._legacy_state = None
+        else:  # pre-tail format: a DFA state id
+            self._legacy_state = int(d["state"])
+            self.tail = np.zeros(0, dtype=np.int32)
+            self._since_legacy = 0
 
 
 class _AcCursor(_DfaCursor):
     def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:
-        buf = np.concatenate([self.tail, cls]) if len(self.tail) else cls
-        off0 = self.off - len(self.tail)
-        starts, ends, vals = self.src.candidates(buf, self.off - off0)
-        out = list(zip((starts + off0).tolist(), (ends + off0).tolist(),
-                       vals.tolist()))
-        self._advance(buf, len(cls))
-        return out
+        starts, ends, vals = self._feed_candidates_global(cls)
+        return list(zip(starts.tolist(), ends.tolist(), vals.tolist()))
 
 
-class _ShortestCursor(_DfaCursor):
-    """Shortest streaming via AC-over-survivors candidates + the incremental
-    min-end greedy resolve (carry = the restart cursor ``p``).
+class _ShortestCursor:
+    """Shortest streaming: sequential restart-baked scan with a lazy upgrade
+    to AC-over-survivors candidates + the incremental min-end greedy.
 
-    ``ac`` is the internal AC automaton over the insert-surviving keywords
-    (``ShortestMatchSet._ac``) with an optional class remap; the equivalence
-    of candidates-then-greedy with the reference's lagged restart loop is
-    argued on ``resolve.queue.resolve_shortest``.  The greedy is trivially
-    incremental: candidates arrive (end asc, start asc) and acceptance only
-    reads/writes the cursor ``p``.  Without an AC source (``from_compiled``
-    artifacts), falls back to the sequential restart-baked DFA scan — that
-    automaton is NOT d-synchronizing (state depends on match history), so
-    the fallback carries the state id, not a tail.
+    The cursor starts in SEQ mode — the restart-at-root DFA scan, which
+    needs only the shortest matcher's own tables (that automaton is NOT
+    d-synchronizing, so this mode carries the state id).  When a feed
+    crosses the device threshold AND an AC source is available
+    (``ShortestMatchSet._ac``, passed lazily as a supplier so small streams
+    never pay the second compile), it upgrades to CAND mode: the internal
+    AC automaton scans with tail-halo warmup and candidates resolve with
+    the cursor ``p`` = last accepted end (equivalence argued on
+    ``resolve.queue.resolve_shortest``).  The upgrade is exact because SEQ
+    mode tracks exactly (p, class tail) alongside the state, and a legacy
+    resume point ({"state", "off"}) simply pins the cursor to SEQ mode.
     """
 
     def __init__(self, m: CompiledMatcher, dev=None, engine: str = "auto",
                  ac=None):
-        if ac is not None:
-            ac_m, ac_dev, cls_map = ac
-            super().__init__(ac_m, ac_dev, engine)
-            self._cls_map = cls_map
-            self.p = 0  # restart cursor: matches may not start before it
-            self._legacy = None
-        else:
-            super().__init__(m, None, "gold")
-            self._legacy = _SeqScan(self._restart_table(m))
-            self.state = 0
         self.m_outer = m
+        self.engine = engine
+        # ``ac``: None | (ac_compiled, ac_dev, cls_map) | zero-arg supplier.
+        self._ac = ac
+        self.off = 0
+        self.p = 0  # restart cursor: matches may not start before it
+        self.tail = np.zeros(0, dtype=np.int32)  # shortest class space
+        self._halo = max(m.max_depth, 1)
+        # SEQ-mode state (active while _cand is None).
+        self.state = 0
+        self._seq = None
+        self._seq_only = False  # legacy resume: tail history unknown
+        # CAND-mode machinery (built on upgrade).
+        self._cand: Optional[_CandidateSource] = None
+        self._cls_map = None
 
     @staticmethod
     def _restart_table(m: CompiledMatcher):
@@ -323,23 +373,47 @@ class _ShortestCursor(_DfaCursor):
         eff[is_match] = m.dfa_next[0]
         return eff
 
+    def _maybe_upgrade(self, n: int) -> None:
+        if self._cand is not None or self._seq_only or self._ac is None:
+            return
+        if self.engine == "gold":
+            return
+        if not (self.engine == "device" or n >= _STREAM_DEVICE_MIN):
+            return
+        ac = self._ac() if callable(self._ac) else self._ac
+        if ac is None:
+            self._seq_only = True
+            return
+        ac_m, ac_dev, cls_map = ac
+        self._cand = _CandidateSource(ac_m, ac_dev, self.engine)
+        self._cls_map = cls_map
+        if self._cls_map is not None and len(self.tail):
+            self.tail = self._cls_map[self.tail]
+
     def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:
-        if self._legacy is not None:
+        self._maybe_upgrade(len(cls))
+        if self._cand is None:
             m = self.m_outer
-            states, self.state = self._legacy.states(cls, self.state)
+            if self._seq is None:
+                self._seq = _SeqScan(self._restart_table(m))
+            states, self.state = self._seq.states(cls, self.state)
             ml = m.match_len[states]
             pos = np.nonzero(ml > 0)[0]
             ends = pos + self.off + 1
             starts = ends - ml[pos]
             vals = m.match_val[states[pos]].astype(np.int64)
             self.off += len(cls)
+            if len(ends):
+                self.p = int(ends[-1])
+            if not self._seq_only:
+                self.tail = np.concatenate([self.tail, cls])[-self._halo:]
             return list(zip(starts.tolist(), ends.tolist(), vals.tolist()))
 
         if self._cls_map is not None:
             cls = self._cls_map[cls]
         buf = np.concatenate([self.tail, cls]) if len(self.tail) else cls
         off0 = self.off - len(self.tail)
-        starts, ends, vals = self.src.candidates(buf, self.off - off0)
+        starts, ends, vals = self._cand.candidates(buf, self.off - off0)
         out: List[Match] = []
         p = self.p
         for s, e, v in zip((starts + off0).tolist(), (ends + off0).tolist(),
@@ -348,23 +422,45 @@ class _ShortestCursor(_DfaCursor):
                 out.append((s, e, v))
                 p = e
         self.p = p
-        self._advance(buf, len(cls))
+        self.off += len(cls)
+        keep = min(len(buf), self._halo)
+        self.tail = np.asarray(buf[len(buf) - keep:], dtype=np.int32)
         return out
 
     def state_dict(self) -> dict:
-        if self._legacy is not None:
-            return {"state": int(self.state), "off": int(self.off)}
-        d = super().state_dict()
-        d["p"] = int(self.p)
-        return d
+        if self._cand is None:
+            d = {"state": int(self.state), "off": int(self.off),
+                 "p": int(self.p)}
+            if not self._seq_only:
+                d["tail"] = self.tail.tolist()
+            return d
+        return {"tail": self.tail.tolist(), "off": int(self.off),
+                "p": int(self.p)}
 
     def load_state_dict(self, d: dict) -> None:
-        if self._legacy is not None:
+        self.off = int(d["off"])
+        self.p = int(d.get("p", 0))
+        if "state" in d:
             self.state = int(d["state"])
-            self.off = int(d["off"])
-            return
-        super().load_state_dict(d)
-        self.p = int(d["p"])
+            self._cand = None
+            if "tail" in d:
+                self.tail = np.asarray(d["tail"], dtype=np.int32)
+            else:  # pre-round-3 resume point: history unknown, stay SEQ
+                self.tail = np.zeros(0, dtype=np.int32)
+                self._seq_only = True
+        else:
+            # CAND-format dict; the cursor upgrades on the next big feed
+            # (the tail + p are mode-independent state).
+            self.tail = np.asarray(d["tail"], dtype=np.int32)
+            self.state = 0
+            self._seq_only = False
+            if self._cand is None and self._ac is not None:
+                # Force the upgrade now: a CAND tail is in AC class space.
+                ac = self._ac() if callable(self._ac) else self._ac
+                if ac is not None:
+                    ac_m, ac_dev, cls_map = ac
+                    self._cand = _CandidateSource(ac_m, ac_dev, self.engine)
+                    self._cls_map = cls_map
 
 
 class _LongestCursor(_DfaCursor):
@@ -373,13 +469,9 @@ class _LongestCursor(_DfaCursor):
         self.queue = MatchQueue()
 
     def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:
-        buf = np.concatenate([self.tail, cls]) if len(self.tail) else cls
-        off0 = self.off - len(self.tail)
-        starts, ends, vals = self.src.candidates(buf, self.off - off0)
-        for s, e, v in zip((starts + off0).tolist(), (ends + off0).tolist(),
-                           vals.tolist()):
+        starts, ends, vals = self._feed_candidates_global(cls)
+        for s, e, v in zip(starts.tolist(), ends.tolist(), vals.tolist()):
             self.queue.push(s, e, v)
-        self._advance(buf, len(cls))
         if is_final:
             return self.queue.drain()
         # Future candidates end after self.off and have length <= max_depth,

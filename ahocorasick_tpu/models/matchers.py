@@ -459,7 +459,9 @@ class _Matcher:
             for i in range(0, n, self._LISTENER_CHUNK):
                 piece = haystack[i : i + self._LISTENER_CHUNK]
                 trips = scanner.feed(piece, is_final=i + len(piece) >= n)
-                self.last_stats.units = i + len(piece)
+                # Cursor offsets are UTF-16 units (ScanStats contract);
+                # code-point slicing only drives the chunk loop.
+                self.last_stats.units = scanner.cursor.off
                 for s, e, v in trips:
                     delivered += 1
                     if self.is_map:
@@ -812,15 +814,22 @@ class ShortestMatchSet(_Matcher):
         return cls if self._cls_map is None else self._cls_map[cls]
 
     def _stream_ac(self):
-        """Streaming candidate source: the internal AC automaton + class
-        remap (None for ``from_compiled`` artifacts — the cursor then keeps
-        the sequential restart-baked scan)."""
-        if self.engine == "gold":
-            return None  # never build the internal AC for gold matchers
-        ac = self._ac
-        if ac is None:
+        """Streaming candidate source: a SUPPLIER of the internal AC
+        automaton + class remap, resolved lazily by the cursor only when a
+        feed crosses the device threshold — small streams never pay the
+        second compile (mirrors ``_pick_engine``'s small-input guard).
+        None for ``from_compiled`` artifacts / gold matchers (the cursor
+        then keeps the sequential restart-baked scan)."""
+        if self.engine == "gold" or getattr(self, "_src", None) is None:
             return None
-        return (ac.compiled, ac.dev, self._cls_map)
+
+        def supplier():
+            ac = self._ac
+            if ac is None:
+                return None
+            return (ac.compiled, ac.dev, self._cls_map)
+
+        return supplier
 
     def _pick_engine(self, n_units: int) -> str:
         if self.engine == "gold":

@@ -582,10 +582,11 @@ class ShardedScanner:
                     resolve_shortest_sharded,
                 )
 
-                inner_cls_n = len(ac._classes(text))
+                # The internal AC sees the same UTF-16 unit count (classes
+                # differ, positions don't), so the shard cuts are len(cls).
                 return resolve_shortest_sharded(
                     *self._inner.match_triples(text),
-                    boundaries=self._shard_boundaries(inner_cls_n),
+                    boundaries=self._shard_boundaries(len(cls)),
                     max_depth=ac.compiled.max_depth,
                 )
             from ahocorasick_tpu.core.stream import make_cursor

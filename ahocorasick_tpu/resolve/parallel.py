@@ -93,7 +93,6 @@ def resolve_longest_sharded(
     tail: List[Tuple[int, int, int]] = []  # accepted with end > b_k - d
 
     for k, seg in enumerate(segs):
-        b_lo = bounds[k]
         if len(seg[0]) == 0:
             continue
         tail_last_end = tail[-1][1] if tail else (anchor[1] if anchor else -(1 << 60))
@@ -118,10 +117,12 @@ def resolve_longest_sharded(
                    and resolved[keep] == seed[keep]):
                 keep += 1
             dropped = len(seed) - keep  # emitted entries now invalid
+            # The anchor itself can never be displaced (every segment-k
+            # candidate starts after anchor.end, see module docstring), so
+            # only tail entries are ever dropped.
+            assert anchor is None or keep >= 1
             if dropped:
                 _drop_trailing(out_s, out_e, out_v, dropped)
-                if anchor is not None and keep == 0:
-                    anchor = None
             new = resolved[keep:]
             rs = np.asarray([t[0] for t in new], dtype=np.int64)
             re_ = np.asarray([t[1] for t in new], dtype=np.int64)

@@ -9,8 +9,8 @@ list on a 128Ki-unit window, and an exact pinned total count over a 1Mi-
 unit text (seeded RNG; the reference's unseeded ``Generator.randomStrings``
 made its runs non-reproducible, SURVEY.md §4).
 
-Runtime ~30 s (compile ~11 s, scan/oracle the rest) — the suite's one
-at-scale test, per the reference's own test plan.
+Runtime ~30-60 s depending on host load (compile ~11 s, scan/oracle the
+rest) — the suite's one at-scale test, per the reference's own test plan.
 """
 
 import numpy as np

@@ -200,3 +200,66 @@ def test_device_stream_resume_mid_stream():
         s2.load_state_dict(state)
         got += s2.feed(text[cut:], is_final=True)
         assert got == expected, cls.__name__
+
+
+def test_legacy_state_dict_resumes_exactly():
+    """Pre-round-3 resume points ({\"state\", \"off\"}) still load: the
+    cursor runs the state-carry scan until the tail is determined, then
+    converges to the engine path — output identical either way."""
+    from ahocorasick_tpu.core import gold
+
+    text = TEXT + " " + TEXT
+    cut = 40
+    for cls in (AhoCorasickSet, LongestMatchSet):
+        kws = KEYWORDS[cls]
+        m = cls(kws, engine="device")
+        expected = m.match_stream(io.StringIO(text), chunk_units=13)
+
+        s1 = m.stream()
+        got = s1.feed(text[:cut], is_final=False)
+        # Forge the legacy format from the true DFA state at the cut.
+        comp = m.compiled
+        state = 0
+        for u in m._classes(text[:cut]):
+            state = int(comp.dfa_next[state, u])
+        legacy = {"state": state, "off": cut}
+        if cls is LongestMatchSet:
+            legacy["queue"] = s1.state_dict()["queue"]
+        s2 = m.stream()
+        s2.load_state_dict(legacy)
+        for i in range(cut, len(text), 13):
+            got += s2.feed(text[i : i + 13], is_final=i + 13 >= len(text))
+        assert got == expected, cls.__name__
+
+
+def test_shortest_small_stream_skips_second_compile():
+    m = ShortestMatchSet(["she", "he", "hers"])
+    assert m._ac_cache is None
+    got = m.match_stream(io.StringIO("ushers and he"), chunk_units=4)
+    assert m._ac_cache is None  # small feeds never resolve the supplier
+    gold_m = ShortestMatchSet(["she", "he", "hers"], engine="gold")
+    assert got == gold_m.match("ushers and he")
+
+
+def test_shortest_seq_to_candidates_upgrade_mid_stream():
+    """A stream whose later feeds cross the device threshold upgrades the
+    cursor exactly (p + tail carry across the mode switch)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    kws = KEYWORDS[ShortestMatchSet]
+    m = ShortestMatchSet(kws, engine="auto")
+    text_small = _word_soup(rng, 30)
+    text_big = _word_soup(rng, 12000)
+    text = text_small + " " + text_big
+    gold_m = ShortestMatchSet(kws, engine="gold")
+    expected = gold_m.match(text)
+    s = m.stream()
+    got = s.feed(text_small + " ", is_final=False)
+    assert m._ac_cache is None  # still SEQ mode
+    got += s.feed(text_big, is_final=True)
+    from ahocorasick_tpu.core.stream import _STREAM_DEVICE_MIN
+
+    if len(text_big) >= _STREAM_DEVICE_MIN:
+        assert m._ac_cache is not None  # upgraded
+    assert got == expected
