@@ -263,3 +263,20 @@ def test_shortest_seq_to_candidates_upgrade_mid_stream():
     if len(text_big) >= _STREAM_DEVICE_MIN:
         assert m._ac_cache is not None  # upgraded
     assert got == expected
+
+
+def test_device_stream_hotstate_long_keywords():
+    """Streams over a huge-dict-layout matcher (packed-inline overflow)
+    ride the hotstate plane engine per feed; conformance vs gold."""
+    from ahocorasick_tpu.ops import scan_batched
+
+    kws = ["a" * i for i in range(1, 70)] + ["ab", "ba"]
+    m = AhoCorasickSet(kws, engine="device")
+    assert scan_batched.hotstate_layout(m.compiled)
+    gold = AhoCorasickSet(kws, engine="gold")
+    rng = np.random.default_rng(11)
+    text = "".join(rng.choice(list("aab"), size=5000))
+    expected = gold.match(text)
+    for chunk in (64, 700, 4096):
+        got = m.match_stream(io.StringIO(text), chunk_units=chunk)
+        assert got == expected, chunk
