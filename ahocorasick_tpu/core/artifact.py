@@ -53,14 +53,28 @@ def save(m: CompiledMatcher, path) -> None:
     if m.values is not None:
         try:
             values_json = json.dumps(m.values)
+            # JSON must round-trip FAITHFULLY, not merely serialize: tuples
+            # become lists and non-string dict keys become strings, which
+            # would silently hand a loaded matcher different value objects
+            # than the compiled one.  Such values take the pickle path.
+            if json.loads(values_json) != m.values:
+                values_json = None
         except (TypeError, ValueError):
+            pass
+        if values_json is None:
             values_pickle = pickle.dumps(m.values, protocol=4)
     arrays["__meta__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
     if values_json is not None:
         arrays["__values_json__"] = np.frombuffer(values_json.encode(), dtype=np.uint8)
     if values_pickle is not None:
         arrays["__values_pickle__"] = np.frombuffer(values_pickle, dtype=np.uint8)
-    np.savez(path, **arrays)
+    if isinstance(path, (str, bytes)) or hasattr(path, "__fspath__"):
+        # np.savez appends ".npz" to extension-less paths; open the file
+        # ourselves so save(p) / load(p) round-trips for ANY path.
+        with open(path, "wb") as fh:
+            np.savez(fh, **arrays)
+    else:
+        np.savez(path, **arrays)
 
 
 def load(path, allow_pickle: bool = False) -> CompiledMatcher:

@@ -414,18 +414,25 @@ class _ShortestCursor:
         buf = np.concatenate([self.tail, cls]) if len(self.tail) else cls
         off0 = self.off - len(self.tail)
         starts, ends, vals = self._cand.candidates(buf, self.off - off0)
-        out: List[Match] = []
-        p = self.p
-        for s, e, v in zip((starts + off0).tolist(), (ends + off0).tolist(),
-                           vals.tolist()):
-            if s >= p:
-                out.append((s, e, v))
-                p = e
-        self.p = p
+        # Filter to start >= p, then the (native-backed) min-end greedy —
+        # identical to advancing the cursor from p (resolve_shortest's
+        # internal cursor starts at 0 and every remaining candidate starts
+        # at/after p; same form as resolve_shortest_sharded).  CAND mode
+        # only runs on big feeds, where adversarial inputs make the
+        # per-candidate Python loop the bottleneck.
+        from ahocorasick_tpu.resolve.queue import resolve_shortest
+
+        starts = starts + off0
+        ends = ends + off0
+        keep_m = starts >= self.p
+        rs, re_, rv = resolve_shortest(starts[keep_m], ends[keep_m],
+                                       vals[keep_m])
+        if len(re_):
+            self.p = int(re_[-1])
         self.off += len(cls)
         keep = min(len(buf), self._halo)
         self.tail = np.asarray(buf[len(buf) - keep:], dtype=np.int32)
-        return out
+        return list(zip(rs.tolist(), re_.tolist(), rv.tolist()))
 
     def state_dict(self) -> dict:
         if self._cand is None:
@@ -434,8 +441,11 @@ class _ShortestCursor:
             if not self._seq_only:
                 d["tail"] = self.tail.tolist()
             return d
-        return {"tail": self.tail.tolist(), "off": int(self.off),
-                "p": int(self.p)}
+        d = {"tail": self.tail.tolist(), "off": int(self.off),
+             "p": int(self.p)}
+        if self._cls_map is not None:
+            d["ac_space"] = True  # tail classes are in the AC charmap
+        return d
 
     def load_state_dict(self, d: dict) -> None:
         self.off = int(d["off"])
@@ -448,19 +458,36 @@ class _ShortestCursor:
             else:  # pre-round-3 resume point: history unknown, stay SEQ
                 self.tail = np.zeros(0, dtype=np.int32)
                 self._seq_only = True
-        else:
-            # CAND-format dict; the cursor upgrades on the next big feed
-            # (the tail + p are mode-independent state).
-            self.tail = np.asarray(d["tail"], dtype=np.int32)
-            self.state = 0
-            self._seq_only = False
-            if self._cand is None and self._ac is not None:
-                # Force the upgrade now: a CAND tail is in AC class space.
-                ac = self._ac() if callable(self._ac) else self._ac
-                if ac is not None:
-                    ac_m, ac_dev, cls_map = ac
-                    self._cand = _CandidateSource(ac_m, ac_dev, self.engine)
-                    self._cls_map = cls_map
+            return
+        # CAND-format dict: tail + p are mode-independent state.
+        self.tail = np.asarray(d["tail"], dtype=np.int32)
+        self._seq_only = False
+        ac = self._ac() if callable(self._ac) else self._ac
+        if ac is not None:
+            ac_m, ac_dev, cls_map = ac
+            self._cand = _CandidateSource(ac_m, ac_dev, self.engine)
+            self._cls_map = cls_map
+            return
+        # No AC source (from_compiled artifact): resume exactly in SEQ
+        # mode.  Since p is the LAST accepted end, no match ended after p,
+        # so the restart-scan state at `off` equals a pure goto-closure
+        # walk from the root over the text since max(p, off - halo) —
+        # which the tail covers (d-synchronization on the match-free
+        # stretch; see the class docstring).
+        if d.get("ac_space"):
+            raise ValueError(
+                "resume point was saved with a class-remapped internal AC "
+                "automaton; this matcher (no keyword source) cannot "
+                "interpret its tail — resume with a keyword-constructed "
+                "matcher instead"
+            )
+        self._cand = None
+        take = min(len(self.tail), max(self.off - self.p, 0))
+        s = 0
+        dfa = self.m_outer.dfa_next
+        for c in self.tail[len(self.tail) - take:].tolist():
+            s = int(dfa[s, c])
+        self.state = s
 
 
 class _LongestCursor(_DfaCursor):
@@ -669,14 +696,18 @@ class StreamScanner:
         """Yield global (start, end, value_id) triples as they finalize."""
         it = _read_chunks(source, self.chunk_units)
         piece = next(it, None)
+        fed = False
         while piece is not None:
             nxt = next(it, None)
             cls = self._classes(piece)
+            fed = True
             for match in self.cursor.feed(cls, is_final=nxt is None):
                 yield match
             piece = nxt
-        if self.cursor.off == 0:
-            # Empty stream: still run the end-of-input path once.
+        if not fed:
+            # Empty source: still run the end-of-input path once, so a
+            # RESUMED cursor (pending queue / final-word walk) finalizes
+            # even when nothing new arrives.
             for match in self.cursor.feed(np.zeros(0, dtype=np.int32), is_final=True):
                 yield match
 

@@ -89,7 +89,7 @@ _KIND_CODE = {"ac": 0, "longest": 1, "shortest": 2}
 
 
 def compile_tables(units: np.ndarray, offsets: np.ndarray, kind: str,
-                   with_values: bool, build_dfa: bool = True) -> dict:
+                   with_values: bool) -> dict:
     """Run the native compiler; returns a dict of numpy arrays.
 
     ``units``: uint16 concatenated folded keyword units; ``offsets``:
@@ -121,7 +121,7 @@ def compile_tables(units: np.ndarray, offsets: np.ndarray, kind: str,
             "num_classes": int(A),
             "class_of_unit": np.empty(65536, dtype=np.int32),
             "trie_next": big_empty((S + 1, A), np.int32),
-            "dfa_next": big_empty((S, A), np.int32) if build_dfa else None,
+            "dfa_next": big_empty((S, A), np.int32),
             "fail": big_empty(S, np.int32),
             "own_len": big_empty(S + 1, np.int32),
             "own_val": big_empty(S + 1, np.int32),

@@ -227,11 +227,10 @@ void ac_get_build_meta(void* h, int32_t* class_of_unit, uint8_t* accepted) {
     std::memcpy(accepted, r->accepted.data(), r->accepted.size());
 }
 
-// Fill caller buffers: trie_next[(S+1)*A], dfa_next[S*A] (may be null),
-// fail[S], own_len/own_val/match_len/match_val/depth[S+1],
+// Fill caller buffers: trie_next[(S+1)*A], dfa_next[S*A], fail[S],
+// own_len/own_val/match_len/match_val/depth[S+1],
 // emit_start/emit_count[S+1] (null for shortest).  Returns E (emit table
-// length; 0 when emits not built).  With dfa_next null, fail links are
-// computed by fail-chain walking (same result, no closure table).
+// length; 0 when emits not built).
 int64_t ac_finalize(void* h, int32_t* trie_next, int32_t* dfa_next,
                     int32_t* fail, int32_t* own_len, int32_t* own_val,
                     int32_t* match_len, int32_t* match_val, int32_t* depth,
@@ -264,11 +263,9 @@ int64_t ac_finalize(void* h, int32_t* trie_next, int32_t* dfa_next,
 
   // BFS pass: fail links + goto closure (+ shortest pruning).
   fail[0] = 0;  // root (the Python path zero-fills; buffers here are empty)
-  if (dfa_next) {
-    for (int32_t c = 0; c < A; ++c) {
-      int32_t t = trie_next[(size_t)c];
-      dfa_next[(size_t)c] = (t != DEAD) ? t : 0;  // root loops to itself
-    }
+  for (int32_t c = 0; c < A; ++c) {
+    int32_t t = trie_next[(size_t)c];
+    dfa_next[(size_t)c] = (t != DEAD) ? t : 0;  // root loops to itself
   }
   for (size_t hh = 1; hh < r->order.size(); ++hh) {
     int32_t node = r->order[hh];
@@ -276,21 +273,9 @@ int64_t ac_finalize(void* h, int32_t* trie_next, int32_t* dfa_next,
     int32_t f;
     if (r->depth[(size_t)node] == 1) {
       f = 0;
-    } else if (dfa_next) {
+    } else {
       f = dfa_next[(size_t)fail[(size_t)r->parent[(size_t)node]] * (size_t)A +
                    (size_t)pcls];
-    } else {
-      // Fail-chain walk (closure-free): first ancestor-fail with the edge.
-      f = fail[(size_t)r->parent[(size_t)node]];
-      while (true) {
-        int32_t t = trie_next[(size_t)f * (size_t)A + (size_t)pcls];
-        if (t != DEAD) {
-          f = t;
-          break;
-        }
-        if (f == 0) break;
-        f = fail[(size_t)f];
-      }
     }
     fail[(size_t)node] = f;
     if (kind == KIND_SHORTEST && r->depth[(size_t)node] > 1) {
@@ -309,7 +294,7 @@ int64_t ac_finalize(void* h, int32_t* trie_next, int32_t* dfa_next,
         f = 0;
       }
     }
-    if (dfa_next) {
+    {
       const int32_t* trow = &trie_next[(size_t)node * (size_t)A];
       const int32_t* frow = &dfa_next[(size_t)f * (size_t)A];
       int32_t* drow = &dfa_next[(size_t)node * (size_t)A];

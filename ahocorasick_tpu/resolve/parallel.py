@@ -186,7 +186,12 @@ def resolve_shortest_sharded(
     max_depth: int,
 ) -> Triple:
     """Leftmost-shortest resolve, shard-decomposed; output-identical to
-    ``resolve_shortest`` over the full candidate arrays (tested)."""
+    ``resolve_shortest`` over the full candidate arrays (tested).
+
+    ``max_depth`` is accepted for signature symmetry with the longest
+    variant but unused: the shortest boundary state is only the restart
+    cursor ``p`` (no tail of displaceable matches exists — accepted
+    shortest matches are final the moment the cursor passes them)."""
     if len(starts) == 0:
         return _empty()
     segs = _split_by_end(starts, ends, vals, boundaries)

@@ -124,3 +124,67 @@ def test_row_compressed_shortest_artifact_rejects_device():
     # auto still works (host cursor path), and semantics are unchanged.
     m2 = ShortestMatchSet.from_compiled(m.compiled)
     assert m2.match("zabcd") == [(1, 3), (3, 5)]
+
+
+def test_values_json_fidelity_tuples_take_pickle_path():
+    """Tuples/non-string dict keys are json.dumps-able but not JSON-
+    faithful; such values must take the (load-gated) pickle path instead
+    of being silently mutated to lists/string keys."""
+    import pytest
+
+    from ahocorasick_tpu.core import artifact
+    from ahocorasick_tpu.models.matchers import AhoCorasickMap
+
+    m = AhoCorasickMap(["x"], [(1, 2)])
+    blob = artifact.save_bytes(m.compiled)
+    with pytest.raises(ValueError):
+        artifact.load_bytes(blob)  # pickle gate
+    loaded = artifact.load_bytes(blob, allow_pickle=True)
+    assert loaded.values == [(1, 2)]  # tuple preserved
+
+
+def test_save_load_extensionless_path(tmp_path):
+    from ahocorasick_tpu.core import artifact
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+
+    m = AhoCorasickSet(["he", "she"])
+    p = str(tmp_path / "art")  # np.savez would append .npz
+    artifact.save(m.compiled, p)
+    loaded = artifact.load(p)
+    assert loaded.num_states == m.compiled.num_states
+
+
+def test_resumed_cursor_empty_source_finalizes():
+    """A resumed cursor scanning an exhausted source must still run the
+    end-of-input feed (pending longest queue / final word drain)."""
+    import io
+
+    from ahocorasick_tpu.core.stream import StreamScanner
+    from ahocorasick_tpu.models.matchers import LongestMatchSet
+
+    m = LongestMatchSet(["a", "ab"])
+    s1 = m.stream()
+    assert s1.feed("a", is_final=False) == []  # still displaceable
+    d = s1.state_dict()
+    ss = StreamScanner(m.compiled)
+    ss.load_state_dict(d)
+    assert list(ss.scan(io.StringIO(""))) == [(0, 1, -1)]
+
+
+def test_cand_resume_point_into_artifact_matcher():
+    """A resume point saved by a keyword-constructed (CAND-mode) shortest
+    cursor loads into a from_compiled matcher (no AC source): the SEQ
+    state is reconstructed from (tail, p) exactly."""
+    import json
+
+    from ahocorasick_tpu.models.matchers import ShortestMatchSet
+
+    m = ShortestMatchSet(["abc"], engine="device")
+    s1 = m.stream()
+    s1.feed("xxab", is_final=False)
+    d = json.loads(json.dumps(s1.state_dict()))
+    assert "tail" in d and "state" not in d  # CAND format
+    m2 = ShortestMatchSet.from_compiled(m.compiled)
+    s2 = m2.stream()
+    s2.load_state_dict(d)
+    assert s2.feed("cyy", is_final=True) == [(2, 5)]
