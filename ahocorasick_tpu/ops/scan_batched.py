@@ -206,14 +206,15 @@ def packedcount_count(
     s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
 
     def step(carry, c):
-        s, tot = carry
+        s, pop = carry
         v = table_flat[s * A + c.astype(jnp.uint32)]
-        tot = tot + jnp.sum((v >> sb).astype(jnp.int32))
-        return (v & smask, tot), None
+        # Per-LANE accumulate; one cross-lane reduction at the end (a
+        # per-step scalar sum is a B->1 tree reduce every character).
+        return (v & smask, pop + (v >> sb).astype(jnp.int32)), None
 
-    tot0 = (windows[0, 0] * 0).astype(jnp.int32)
-    (_, total), _ = lax.scan(step, (s_h, tot0), windows[:, halo:].T)
-    return total
+    pop0 = (windows[:, 0] * 0).astype(jnp.int32)
+    (_, pop), _ = lax.scan(step, (s_h, pop0), windows[:, halo:].T)
+    return jnp.sum(pop)
 
 
 def hotstate_layout(m: CompiledMatcher) -> bool:
@@ -373,14 +374,14 @@ def batched_count(
     s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
 
     def step(carry, c):
-        s, tot = carry
+        s, pop = carry
         v = tf[s * A + c.astype(jnp.uint32)]
-        pop = jax.lax.population_count(v >> jnp.uint32(state_bits))
-        return (v & state_mask, tot + jnp.sum(pop.astype(jnp.int32))), None
+        dp = jax.lax.population_count(v >> jnp.uint32(state_bits))
+        return (v & state_mask, pop + dp.astype(jnp.int32)), None
 
-    tot0 = (windows[0, 0] * 0).astype(jnp.int32)
-    (_, total), _ = lax.scan(step, (s_h, tot0), windows[:, halo:].T)
-    return total
+    pop0 = (windows[:, 0] * 0).astype(jnp.int32)
+    (_, pop), _ = lax.scan(step, (s_h, pop0), windows[:, halo:].T)
+    return jnp.sum(pop)
 
 
 @functools.partial(jax.jit, static_argnames=("halo", "num_classes", "num_planes"))
@@ -443,16 +444,15 @@ def split_count(
     s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
 
     def step(carry, c):
-        s, tot = carry
+        s, pop = carry
         s2 = dfa_flat[s * A + c]
-        pop = jnp.zeros(s2.shape, jnp.int32)
         for p in range(num_planes):
             pop = pop + lax.population_count(ef[s2 * P + jnp.int32(p)]).astype(jnp.int32)
-        return (s2, tot + jnp.sum(pop)), None
+        return (s2, pop), None
 
-    tot0 = (windows[0, 0] * 0).astype(jnp.int32)
-    (_, total), _ = lax.scan(step, (s_h, tot0), windows[:, halo:].T)
-    return total
+    pop0 = (windows[:, 0] * 0).astype(jnp.int32)
+    (_, pop), _ = lax.scan(step, (s_h, pop0), windows[:, halo:].T)
+    return jnp.sum(pop)
 
 
 _SPARSE_MIN_UNITS = 1 << 16

@@ -202,14 +202,14 @@ def rowdfa1_count(
     s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
 
     def step(carry, c):
-        s, tot = carry
+        s, pop = carry
         v = _select_col(table[s], c, A)
-        pop = lax.population_count(v >> jnp.uint32(state_bits))
-        return (v & state_mask, tot + jnp.sum(pop.astype(jnp.int32))), None
+        dp = lax.population_count(v >> jnp.uint32(state_bits))
+        return (v & state_mask, pop + dp.astype(jnp.int32)), None
 
-    tot0 = (windows[0, 0] * 0).astype(jnp.int32)
-    (_, total), _ = lax.scan(step, (s_h, tot0), windows[:, halo:].T)
-    return total
+    pop0 = (windows[:, 0] * 0).astype(jnp.int32)
+    (_, pop), _ = lax.scan(step, (s_h, pop0), windows[:, halo:].T)
+    return jnp.sum(pop)
 
 
 @functools.partial(jax.jit, static_argnames=("halo", "state_bits", "num_classes"))
@@ -267,16 +267,16 @@ def rowdfa_count(
     s_h, _ = lax.scan(warm, s0, w2[:, :hp].transpose(1, 0, 2))
 
     def step(carry, c01):
-        s, tot = carry
+        s, pop = carry
         rows = table[s * Au + c01[:, 0].astype(jnp.uint32)]
         v = _select_col(rows, c01[:, 1], A)
-        pop = lax.population_count(v >> jnp.uint32(state_bits))
-        pop = pop + lax.population_count(rows[:, A])
-        return (v & state_mask, tot + jnp.sum(pop.astype(jnp.int32))), None
+        dp = lax.population_count(v >> jnp.uint32(state_bits))
+        dp = dp + lax.population_count(rows[:, A])
+        return (v & state_mask, pop + dp.astype(jnp.int32)), None
 
-    tot0 = (windows[0, 0] * 0).astype(jnp.int32)
-    (_, total), _ = lax.scan(step, (s_h, tot0), w2[:, hp:].transpose(1, 0, 2))
-    return total
+    pop0 = (windows[:, 0] * 0).astype(jnp.int32)
+    (_, pop), _ = lax.scan(step, (s_h, pop0), w2[:, hp:].transpose(1, 0, 2))
+    return jnp.sum(pop)
 
 
 @functools.partial(
