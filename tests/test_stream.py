@@ -280,3 +280,18 @@ def test_device_stream_hotstate_long_keywords():
     for chunk in (64, 700, 4096):
         got = m.match_stream(io.StringIO(text), chunk_units=chunk)
         assert got == expected, chunk
+
+
+def test_stream_non_bmp_surrogate_pairs():
+    """Astral keywords match per UTF-16 unit (Java String model) through
+    streams at any chunking — including cuts INSIDE a surrogate pair's
+    unit stream (feeds are strs, so cuts land between code points, but
+    positions count units)."""
+    kw = "a😀b"  # 4 UTF-16 units
+    m = AhoCorasickSet([kw, "😀"], engine="device")
+    text = "x😀 a😀b yes a😀bz"
+    expected = m.match(text)
+    assert expected  # sanity: units-based positions exist
+    for chunk in (1, 2, 3, 5):
+        got = m.match_stream(io.StringIO(text), chunk_units=chunk)
+        assert got == expected, chunk
