@@ -57,3 +57,52 @@ def ac_kernel_rate(m, cls: np.ndarray, reps: int = 8, chunk: int = 512):
         best = min(best, time.perf_counter() - t0)
     dt = best / reps
     return (len(cls) * 2) / dt / 1e9, total, which
+
+
+def wwl_kernel_rate(m, cls: np.ndarray, reps: int = 8):
+    """Device walk rate (GB/s of text) for the whole-word-longest engine.
+
+    Times the compacted word-start walks (``scan_wwl.wwl_walks_at`` — the
+    production single-chip path) with the ac_kernel_rate methodology:
+    data uploaded once, reps inside one jit with rolled starts (CSE-proof).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ahocorasick_tpu.models.matchers import _bucket_depth, _bucket_up
+    from ahocorasick_tpu.ops import scan_pfac, scan_wwl
+    from ahocorasick_tpu.resolve.wholeword import word_starts
+
+    reps = max(reps, -(-(16 << 20) // max(len(cls), 1)))
+    d = _bucket_depth(m.compiled.max_depth)
+    cls_p = scan_pfac.pad_classes(cls, d + 1, bucket=4096)
+    is_word = np.asarray(m.compiled.class_is_word)[cls]
+    ws = word_starts(is_word)
+    lanes = ws if (len(ws) and ws[0] == 0) else np.concatenate(
+        [np.zeros(1, dtype=np.int64), ws])
+    Wp = _bucket_up(max(len(lanes), 1), minimum=256)
+    starts = np.full(Wp, len(cls), dtype=np.int32)
+    starts[: len(lanes)] = lanes
+    tables = (m.dev.trie_next, m.dev.own_len, m.dev.own_val, m.dev.fail_len,
+              m.dev.fail_off, m.dev.fail_val, m.dev.class_is_word)
+    cdev = jax.device_put(jnp.asarray(cls_p))
+    sdev = jax.device_put(jnp.asarray(starts))
+
+    @jax.jit
+    def reps_walks(cp, st):
+        def one(i, tot):
+            _, has, _, _, _ = scan_wwl.wwl_walks_at(
+                *tables, cp, jnp.roll(st, i), d)
+            return tot + jnp.sum(has.astype(jnp.int32))
+
+        return lax.fori_loop(0, reps, one, jnp.int32(0))
+
+    float(reps_walks(cdev, sdev))  # compile
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(reps_walks(cdev, sdev))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / reps
+    return (len(cls) * 2) / dt / 1e9

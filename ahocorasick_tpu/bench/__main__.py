@@ -74,6 +74,11 @@ def run_config(label: str, *, kind: str, is_map: bool, keywords: list,
         # upload (4 B/unit over PCIe, 8 GB/s conservative) per scan.
         ns_per_unit = 4 / 8 + 2 / kernel_gbps  # upload + kernel, ns
         projected_gbps = 2 / ns_per_unit
+    elif kind == "whole_word_longest" and engine == "device":
+        from ahocorasick_tpu.bench import wwl_kernel_rate
+
+        kernel_gbps = wwl_kernel_rate(m, m._classes(text), reps=max(4, reps))
+        projected_gbps = 2 / (4 / 8 + 2 / kernel_gbps)
     if listener_costs:
         listener_cost_records(label, m, text, reps)
     return {

@@ -923,6 +923,11 @@ class WholeWordLongestMatchSet(_Matcher):
         word_chars = _resolve_word_chars(word_chars, toggle_flags)
         super().__init__(keywords, case_sensitive, word_chars=word_chars, **kw)
 
+    # Word-start density below which the compacted walk engine wins: it
+    # pays 2 gathers per (start, step) where the full engine pays 1 table
+    # gather + a free contiguous slice per (lane, step) over ALL lanes.
+    _WWL_COMPACT_DENSITY = 0.35
+
     def _device_triples(self, cls):
         import jax.numpy as jnp
 
@@ -933,21 +938,43 @@ class WholeWordLongestMatchSet(_Matcher):
         m = self.compiled
         d = _bucket_depth(m.max_depth)
         cls_p = scan_pfac.pad_classes(cls, d + 1, bucket=_LANE_BUCKET)
-        die_pos, has, ms, me, mv = scan_wwl.wwl_walks(
-            self.dev.trie_next,
-            self.dev.own_len,
-            self.dev.own_val,
-            self.dev.fail_len,
-            self.dev.fail_off,
-            self.dev.fail_val,
-            self.dev.class_is_word,
-            jnp.asarray(cls_p),
-            d,
-        )
         is_word = np.asarray(m.class_is_word)[cls]
         ws = word_starts(is_word)
+        tables = (
+            self.dev.trie_next, self.dev.own_len, self.dev.own_val,
+            self.dev.fail_len, self.dev.fail_off, self.dev.fail_val,
+            self.dev.class_is_word,
+        )
+        n = len(cls)
+        lanes = ws if (len(ws) and ws[0] == 0) else np.concatenate(
+            [np.zeros(1, dtype=np.int64), ws])
+        if n and len(lanes) <= self._WWL_COMPACT_DENSITY * n:
+            # The restart chain only consumes walks at position 0 and word
+            # starts (resolve/wholeword.follow_chain), so walk just those
+            # lanes; padded slots point at the PAD region (die immediately,
+            # no match).  Scatter outcomes back to position-indexed arrays
+            # for the (native) chain follower.
+            Wp = _bucket_up(len(lanes), minimum=256)
+            starts = np.full(Wp, n, dtype=np.int32)
+            starts[: len(lanes)] = lanes
+            die_c, has_c, ms_c, me_c, mv_c = scan_wwl.wwl_walks_at(
+                *tables, jnp.asarray(cls_p), jnp.asarray(starts), d)
+            W = len(lanes)
+            die = np.zeros(n, dtype=np.int32)
+            has = np.zeros(n, dtype=bool)
+            ms = np.zeros(n, dtype=np.int32)
+            me = np.zeros(n, dtype=np.int32)
+            mv = np.zeros(n, dtype=np.int32)
+            die[lanes] = np.asarray(die_c)[:W]
+            has[lanes] = np.asarray(has_c)[:W]
+            ms[lanes] = np.asarray(ms_c)[:W]
+            me[lanes] = np.asarray(me_c)[:W]
+            mv[lanes] = np.asarray(mv_c)[:W]
+        else:
+            die, has, ms, me, mv = (np.asarray(a) for a in scan_wwl.wwl_walks(
+                *tables, jnp.asarray(cls_p), d))
         trip = follow_chain(
-            np.asarray(die_pos), np.asarray(has), np.asarray(ms), np.asarray(me),
+            np.asarray(die), np.asarray(has), np.asarray(ms), np.asarray(me),
             np.asarray(mv), ws, len(cls),
         )
         if not trip:

@@ -67,6 +67,12 @@ def wwl_walks(
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1)
     die_pos = lane + k_die
+    return _walk_outcomes(own_len, own_val, fail_len, fail_off, fail_val,
+                          class_is_word, cls_padded, die_pos, s_last)
+
+
+def _walk_outcomes(own_len, own_val, fail_len, fail_off, fail_val,
+                   class_is_word, cls_padded, die_pos, s_last):
     die_cls = cls_padded[die_pos]
     die_word = class_is_word[die_cls]
 
@@ -79,3 +85,47 @@ def wwl_walks(
     val = jnp.where(has_own, own_val[s_last], fail_val[s_last])
     has = has_own | has_fail
     return die_pos, has, end - length, end, val
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def wwl_walks_at(
+    trie_next: jax.Array,  # int32[S+1, A]
+    own_len: jax.Array,
+    own_val: jax.Array,
+    fail_len: jax.Array,
+    fail_off: jax.Array,
+    fail_val: jax.Array,
+    class_is_word: jax.Array,  # bool[A]
+    cls_padded: jax.Array,  # int32[>= max_start + max_depth + 1]
+    starts: jax.Array,  # int32[W] walk start positions (padded lanes OK)
+    max_depth: int,
+):
+    """Walk outcomes for the given START POSITIONS only.
+
+    The restart chain consumes walks only at position 0 and word starts
+    (``resolve/wholeword.follow_chain`` hops die -> first word start after
+    it), so computing every lane wastes ~(1/word-start-density)x work.
+    This variant pays one char gather + one (flat) trie gather per
+    (start, step) — a win while word starts are sparse; the full
+    ``wwl_walks`` keeps its free contiguous per-step slices for dense
+    inputs.  Padded start slots should point at the PAD region (class 0,
+    non-word): their walks die at step 0 with no match.
+    """
+    A = jnp.int32(trie_next.shape[1])
+    tf = trie_next.reshape(-1)
+    dead = jnp.int32(trie_next.shape[0] - 1)
+
+    def body(k, carry):
+        states, k_die, s_last = carry
+        chars = cls_padded[starts + k]
+        nxt = tf[states * A + chars]
+        newly = (k_die < 0) & (nxt == dead)
+        k_die = jnp.where(newly, k, k_die)
+        s_last = jnp.where(newly, states, s_last)
+        return nxt, k_die, s_last
+
+    z = (starts * 0).astype(jnp.int32)
+    _, k_die, s_last = lax.fori_loop(0, max_depth + 1, body, (z, z - 1, z))
+    die_pos = starts + k_die
+    return _walk_outcomes(own_len, own_val, fail_len, fail_off, fail_val,
+                          class_is_word, cls_padded, die_pos, s_last)

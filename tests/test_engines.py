@@ -163,3 +163,25 @@ def test_ac_count_fused_device_kernel():
     mm = AhoCorasickMap(["he", "she"], [1, 2])
     assert mm.count(big_enough) == AhoCorasickSet(["he", "she"],
                                                   engine="gold").count(big_enough)
+
+
+def test_wwl_compact_and_full_walk_paths_agree():
+    """The compacted word-start walk engine and the all-lanes engine are
+    both exact; force each via the density threshold and compare to gold
+    (resolve/wholeword.follow_chain consumes only word-start walks)."""
+    rng = random.Random(9)
+    kws = ["as", "as if", "he", "she said", "stand up", "go"]
+    texts = [
+        "as if by magic she said stand up as ifx go going",  # sparse starts
+        "a" * 200,  # one word run
+        "go go go go go " * 30,
+        "  as   if  ",
+    ]
+    for text in texts:
+        m = act.WholeWordLongestMatchSet(kws, engine="device")
+        want = gold_triples(m, text)
+        m._WWL_COMPACT_DENSITY = 1.1  # force compact branch
+        assert triples(m, text) == want, ("compact", text[:20])
+        m2 = act.WholeWordLongestMatchSet(kws, engine="device")
+        m2._WWL_COMPACT_DENSITY = -1.0  # force full branch
+        assert triples(m2, text) == want, ("full", text[:20])
