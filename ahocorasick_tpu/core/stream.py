@@ -594,21 +594,28 @@ class _WordCursor:
         return ("pending",)
 
     def _word_starts(self, cls: np.ndarray) -> np.ndarray:
-        """Genuine word starts in buffer-local indices.
+        """Walk-start positions in buffer-local indices.
 
-        Index 0 counts only at true stream start; otherwise the unit before
-        the buffer is inside the tail context, so local index 0's wordness
-        predecessor is unknown — and irrelevant, because every undecided
-        walk starts at/after ``tail_off + 1`` (tail length is d+1 while
-        live walks span at most d units).
+        Word starts, plus — at TRUE stream start — index 0 unconditionally:
+        the reference's initial walk begins at position 0 whatever its
+        wordness (only mid-stream RESTARTS skip to word starts,
+        ``WholeWordLongestMatchSet.java:91-99``), which is observable for
+        keywords that begin with non-word characters (a trimmed-to-nothing
+        keyword like ``" "`` survives insertion per the trim quirk and must
+        match at position 0; the batch path's ``follow_chain`` starts its
+        chain at 0 the same way).  Mid-buffer index 0 (tail_off > 0) is
+        never a start: its wordness predecessor lives in the tail context,
+        and every undecided walk starts at/after ``tail_off + 1`` (tail
+        length is d+1 while live walks span at most d units).
         """
         if len(cls) == 0:
             return np.zeros(0, dtype=np.int64)
         is_word = self.m.class_is_word[cls]
         prev = np.concatenate([[True], is_word[:-1]])
-        if self.tail_off == 0:
-            prev[0] = False
-        return np.nonzero(is_word & ~prev)[0]
+        starts = np.nonzero(is_word & ~prev)[0]
+        if self.tail_off == 0 and (len(starts) == 0 or starts[0] != 0):
+            starts = np.concatenate([np.zeros(1, dtype=starts.dtype), starts])
+        return starts
 
     def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:
         m = self.m

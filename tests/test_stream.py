@@ -295,3 +295,20 @@ def test_stream_non_bmp_surrogate_pairs():
     for chunk in (1, 2, 3, 5):
         got = m.match_stream(io.StringIO(text), chunk_units=chunk)
         assert got == expected, chunk
+
+
+def test_wwl_separator_keyword_matches_at_stream_start():
+    """A keyword of pure non-word chars (survives trim unchanged, the Java
+    quirk) must match at position 0 through streams: the reference's
+    INITIAL walk starts at 0 regardless of wordness; only restarts skip to
+    word starts (WholeWordLongestMatchSet.java:91-99).  Found by
+    tools/soak.py."""
+    m = WholeWordLongestMatchSet([" ", "-"], engine="gold")
+    assert m.match(" ") == [(0, 1)]
+    for chunk in (1, 2, 4):
+        assert m.match_stream(io.StringIO(" "), chunk_units=chunk) == [(0, 1)]
+    m2 = WholeWordLongestMatchSet(["- a", "a"], engine="gold")
+    t = "- a - a-"
+    want = m2.match(t)
+    for chunk in (1, 2, 3, 7):
+        assert m2.match_stream(io.StringIO(t), chunk_units=chunk) == want
