@@ -245,7 +245,8 @@ class _DeviceTables:
 
             pd = scan_batched.build_packed(self._m)
             assert pd.emit_mask is not None
-            flat = pd.table.astype(np.int32).reshape(-1)
+            # uint32: the split kernels index s*A+c in uint32 (huge dicts).
+            flat = pd.table.astype(np.uint32).reshape(-1)
             cache["split_dfa"] = (
                 jnp.asarray(flat),
                 jnp.asarray(pd.emit_mask),
@@ -705,7 +706,9 @@ class AhoCorasickSet(_PfacEngine):
 
         from ahocorasick_tpu.ops import dispatch, scan_batched
 
-        plan = dispatch.count_plan(self.compiled, self.dev)
+        plan = dispatch.count_plan(
+            self.compiled, self.dev,
+            force_batched=self.device_engine == "batched")
         windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, plan.halo)
         return plan.fn(plan.tables, jnp.asarray(windows))
 

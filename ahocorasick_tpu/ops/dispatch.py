@@ -43,12 +43,18 @@ def _regroup_in_jit(windows):
     return wt.reshape(G * W * 8, 128), W, G
 
 
-def count_plan(compiled, dev, allow_block: bool = True) -> EnginePlan:
-    """Plan for the fused COUNT kernels (popcount summed on device)."""
+def count_plan(compiled, dev, allow_block: bool = True,
+               force_batched: bool = False) -> EnginePlan:
+    """Plan for the fused COUNT kernels (popcount summed on device).
+
+    ``force_batched`` skips the row/block engines — the matchers'
+    ``device_engine="batched"`` cross-check knob, mirrored from
+    ``planes_plan`` so the knob governs BOTH scan paths."""
     from ahocorasick_tpu.ops import scan_batched, scan_rowdfa
 
     A = compiled.num_classes
-    which = scan_rowdfa.pick_engine(compiled, allow_block=allow_block)
+    which = ("batched" if force_batched
+             else scan_rowdfa.pick_engine(compiled, allow_block=allow_block))
     if which == "block":
         from ahocorasick_tpu.kernels import scan_block
 

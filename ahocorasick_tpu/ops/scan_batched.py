@@ -262,20 +262,30 @@ def packedcount_hotstate_plane(
     return vs.T.reshape(1, -1)
 
 
+import weakref as _weakref
 from collections import OrderedDict as _OrderedDict
 
 _HOST_EMIT_PLANES: "_OrderedDict[int, tuple]" = _OrderedDict()
 
 
 def host_emit_planes(m: CompiledMatcher) -> np.ndarray:
-    """Cached host copy of the per-state emit planes (LRU of 4 matchers)."""
+    """Cached host copy of the per-state emit planes (LRU of 4 matchers).
+
+    Entries hold a WEAK reference to the matcher: huge-dictionary planes
+    are hundreds of MB, and a strong ref would pin the matcher's full
+    tables after callers drop it; the entry self-evicts when the matcher
+    is collected."""
     key = id(m)
     ent = _HOST_EMIT_PLANES.get(key)
-    if ent is not None and ent[0] is m:
+    if ent is not None and ent[0]() is m:
         _HOST_EMIT_PLANES.move_to_end(key)
         return ent[1]
     planes = _state_emit_planes(m)
-    _HOST_EMIT_PLANES[key] = (m, planes)
+
+    def _evict(_ref, _key=key):
+        _HOST_EMIT_PLANES.pop(_key, None)
+
+    _HOST_EMIT_PLANES[key] = (_weakref.ref(m, _evict), planes)
     if len(_HOST_EMIT_PLANES) > 4:
         _HOST_EMIT_PLANES.popitem(last=False)
     return planes
@@ -399,23 +409,26 @@ def split_emit_planes(
     (``AhoCorasickSet.java:522-535``)."""
     B = windows.shape[0]
     C = windows.shape[1] - halo
-    A = jnp.int32(num_classes)
-    P = jnp.int32(emit_tab.shape[1])
+    # uint32 flat indices like every sibling engine: the split path serves
+    # multi-million-state dictionaries where S*A exceeds int32 (a uint32-
+    # overflowing table would need >16 GB and cannot exist on this part).
+    A = jnp.uint32(num_classes)
+    P = jnp.uint32(emit_tab.shape[1])
     ef = emit_tab.reshape(-1)  # flat: see batched_emit_planes
 
     def warm(s, c):
-        return dfa_flat[s * A + c], None
+        return dfa_flat[s * A + c.astype(jnp.uint32)], None
 
-    s0 = (windows[:, 0] * 0).astype(jnp.int32)
+    s0 = (windows[:, 0] * 0).astype(jnp.uint32)
     s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
 
     def step(s, c):
-        s2 = dfa_flat[s * A + c]
+        s2 = dfa_flat[s * A + c.astype(jnp.uint32)]
         if num_planes == 1:
             em = ef[s2 * P][:, None]
         else:
             em = jnp.stack(
-                [ef[s2 * P + jnp.int32(p)] for p in range(num_planes)], axis=1
+                [ef[s2 * P + jnp.uint32(p)] for p in range(num_planes)], axis=1
             )  # (B, P)
         return s2, em
 
@@ -433,21 +446,21 @@ def split_count(
     num_classes: int,
     num_planes: int,
 ) -> jax.Array:
-    A = jnp.int32(num_classes)
-    P = jnp.int32(emit_tab.shape[1])
+    A = jnp.uint32(num_classes)  # uint32: see split_emit_planes
+    P = jnp.uint32(emit_tab.shape[1])
     ef = emit_tab.reshape(-1)  # flat: see batched_emit_planes
 
     def warm(s, c):
-        return dfa_flat[s * A + c], None
+        return dfa_flat[s * A + c.astype(jnp.uint32)], None
 
-    s0 = (windows[:, 0] * 0).astype(jnp.int32)
+    s0 = (windows[:, 0] * 0).astype(jnp.uint32)
     s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
 
     def step(carry, c):
         s, pop = carry
-        s2 = dfa_flat[s * A + c]
+        s2 = dfa_flat[s * A + c.astype(jnp.uint32)]
         for p in range(num_planes):
-            pop = pop + lax.population_count(ef[s2 * P + jnp.int32(p)]).astype(jnp.int32)
+            pop = pop + lax.population_count(ef[s2 * P + jnp.uint32(p)]).astype(jnp.int32)
         return (s2, pop), None
 
     pop0 = (windows[:, 0] * 0).astype(jnp.int32)

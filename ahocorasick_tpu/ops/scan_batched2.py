@@ -40,7 +40,11 @@ class Packed2Dfa(NamedTuple):
 
 
 def fits(m: CompiledMatcher, max_bytes: int = _MAX_BYTES) -> bool:
-    S, A = m.num_states, m.num_classes
+    # Quotient rows for row-compressed matchers — the packed table's real
+    # shape (scan_batched.effective_rows), like every sibling engine.
+    from ahocorasick_tpu.ops.scan_batched import effective_rows
+
+    S, A = effective_rows(m), m.num_classes
     d = max(m.max_depth, 1)
     state_bits = max(int(S - 1).bit_length(), 1)
     return state_bits + d <= 32 and S * A * A * 8 <= max_bytes
@@ -49,7 +53,7 @@ def fits(m: CompiledMatcher, max_bytes: int = _MAX_BYTES) -> bool:
 def build_packed2(m: CompiledMatcher) -> Packed2Dfa:
     pd = build_packed(m)
     assert pd.emit_mask is None, "stride-2 requires the packed-inline layout"
-    S, A = m.num_states, m.num_classes
+    S, A = pd.table.shape  # quotient rows for row-compressed matchers
     sb = pd.state_bits
     smask = np.uint32((1 << sb) - 1)
     p1 = pd.table  # uint32[S, A]: state1 | emit(state1) << sb
@@ -63,13 +67,14 @@ def build_packed2(m: CompiledMatcher) -> Packed2Dfa:
 
 
 def chunk_classes2(cls: np.ndarray, chunk: int, halo: int) -> np.ndarray:
-    """(B, halo + chunk) windows with even chunk/halo (pairs well-formed)."""
+    """(B, halo + chunk) windows with even chunk/halo (pairs well-formed).
+
+    Same layout as ``scan_batched.chunk_classes`` (ONE window contract for
+    every engine — ops/dispatch.py); this wrapper only asserts evenness."""
     assert chunk % 2 == 0 and halo % 2 == 0
-    n = len(cls)
-    B = -(-max(n, 1) // chunk)
-    p = np.pad(cls, (halo, B * chunk - n), constant_values=PAD_CLASS)
-    idx = (np.arange(B) * chunk)[:, None] + np.arange(halo + chunk)[None, :]
-    return p[idx].astype(np.int32)
+    from ahocorasick_tpu.ops.scan_batched import chunk_classes
+
+    return chunk_classes(cls, chunk, halo)
 
 
 def _pair_indices(windows: jax.Array, A: int) -> jax.Array:

@@ -133,13 +133,14 @@ def build_rowdfa(m: CompiledMatcher) -> RowDfa:
 
 
 def chunk_classes2(cls: np.ndarray, chunk: int, halo: int) -> np.ndarray:
-    """(B, halo + chunk) windows, even chunk/halo (pairs well-formed)."""
+    """(B, halo + chunk) windows, even chunk/halo (pairs well-formed).
+
+    Delegates to ``scan_batched.chunk_classes`` — ONE window contract for
+    every engine (ops/dispatch.py module doc)."""
     assert chunk % 2 == 0 and halo % 2 == 0
-    n = len(cls)
-    B = -(-max(n, 1) // chunk)
-    p = np.pad(cls, (halo, B * chunk - n), constant_values=PAD_CLASS)
-    idx = (np.arange(B) * chunk)[:, None] + np.arange(halo + chunk)[None, :]
-    return p[idx].astype(np.int32)
+    from ahocorasick_tpu.ops.scan_batched import chunk_classes
+
+    return chunk_classes(cls, chunk, halo)
 
 
 def _select_col(rows: jax.Array, c1: jax.Array, A: int) -> jax.Array:

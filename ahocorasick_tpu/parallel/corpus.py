@@ -54,7 +54,9 @@ def scan_corpus(
     out: List[list] = []
     t0 = time.perf_counter()
     for i, doc in enumerate(documents):
-        stats.units += len(doc)
+        # UTF-16 units, matching the package's ScanStats/offset contract
+        # (astral code points count 2).
+        stats.units += len(doc.encode("utf-16-le")) // 2
         matches = None
         err = None
         for _ in range(max_retries + 1):

@@ -60,61 +60,6 @@ def _right_halo(cls_local: jax.Array, max_depth: int, axis: str, n_dev: int) -> 
     return lax.ppermute(halo_src, axis, perm)
 
 
-def sharded_count(
-    m: CompiledMatcher,
-    trie_next: jax.Array,
-    is_match: jax.Array,
-    cls: np.ndarray,
-    mesh: Mesh,
-) -> int:
-    """Total match count for the AC kinds across the mesh."""
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
-    d = max(m.max_depth, 1)
-    cls_p, chunk = _shard_pad(cls, n_dev, d)
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(None, None), P(None), P(axis)),
-        out_specs=P(),
-    )
-    def run(trie, ism, cls_local):
-        halo = _right_halo(cls_local, d, axis, n_dev)
-        local = jnp.concatenate([cls_local, halo])
-        return lax.psum(scan_pfac.pfac_count(trie, ism, local, d), axis)
-
-    return int(run(trie_next, is_match, jnp.asarray(cls_p.astype(np.int32))))
-
-
-def sharded_bitplanes(
-    m: CompiledMatcher,
-    trie_next: jax.Array,
-    is_match: jax.Array,
-    cls: np.ndarray,
-    mesh: Mesh,
-    num_planes: int,
-) -> np.ndarray:
-    """Match bitplanes (planes, N_padded), lane axis sharded across devices."""
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
-    d = max(m.max_depth, 1)
-    cls_p, chunk = _shard_pad(cls, n_dev, d)
-
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(None, None), P(None), P(axis)),
-        out_specs=P(None, axis),
-    )
-    def run(trie, ism, cls_local):
-        halo = _right_halo(cls_local, d, axis, n_dev)
-        local = jnp.concatenate([cls_local, halo])
-        return scan_pfac.pfac_bitplanes(trie, ism, local, d, num_planes)
-
-    return np.asarray(run(trie_next, is_match, jnp.asarray(cls_p.astype(np.int32))))
-
-
 def sharded_wwl_walks(
     matcher,
     cls: np.ndarray,
@@ -136,7 +81,9 @@ def sharded_wwl_walks(
     dev = matcher.dev
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    d = max(-(-max(m.max_depth, 1) // 4) * 4, 4)  # bucketed like single-chip
+    from ahocorasick_tpu.models.matchers import _bucket_depth
+
+    d = _bucket_depth(m.max_depth)  # bucketed like single-chip
     n = len(cls)
     chunk = max(-(-max(n, 1) // n_dev), d + 1)
     cls_p = np.pad(cls, (0, chunk * n_dev - n), constant_values=0)
@@ -173,78 +120,24 @@ def _left_halo(cls_local: jax.Array, halo: int, axis: str, n_dev: int) -> jax.Ar
     return lax.ppermute(src, axis, perm)
 
 
+def _chunk_for(halo: int, chunk: int) -> int:
+    """Window chunk length >= halo (multiples of the base chunk).
+
+    The overlapped-window construction below requires halo <= chunk;
+    split/hotstate-layout dictionaries can have halo (= max keyword
+    length) beyond the 512 base, so the sharded builders widen the chunk
+    instead of silently clamping the warmup."""
+    return max(chunk, -(-halo // chunk) * chunk)
+
+
 def _windows_on_device(cls_with_halo: jax.Array, chunk: int, halo: int) -> jax.Array:
     """(B, halo+chunk) overlapped windows from [halo | N_local] classes."""
+    assert halo <= chunk, (halo, chunk)  # callers widen via _chunk_for
     n_local = cls_with_halo.shape[0] - halo
     B = n_local // chunk
     body = cls_with_halo[halo:].reshape(B, chunk)
     lefts = cls_with_halo[: B * chunk].reshape(B, chunk)[:, :halo]
     return jnp.concatenate([lefts, body], axis=1)
-
-
-def sharded_batched_count(
-    packed_table: jax.Array,
-    cls: np.ndarray,
-    halo: int,
-    state_bits: int,
-    mesh: Mesh,
-    chunk: int = 512,
-) -> int:
-    """Total match count via the batched-halo v4 engine across the mesh.
-
-    Shard boundaries are just bigger chunk boundaries: each device receives
-    its left neighbor's last ``halo`` classes over ICI (``ppermute``), scans
-    its shard in (halo+chunk)-windows, and counts END-indexed emits — which
-    are shard-local by construction.  ``psum`` reduces.
-    """
-    from ahocorasick_tpu.ops import scan_batched
-
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
-    n = len(cls)
-    per = -(-max(n, 1) // (n_dev * chunk)) * chunk
-    cls_p = np.pad(cls, (0, per * n_dev - n), constant_values=scan_batched.PAD_CLASS)
-
-    @functools.partial(
-        shard_map, mesh=mesh, in_specs=(P(None, None), P(axis)), out_specs=P()
-    )
-    def run(table, cls_local):
-        hl = _left_halo(cls_local, halo, axis, n_dev)
-        windows = _windows_on_device(jnp.concatenate([hl, cls_local]), chunk, halo)
-        return lax.psum(
-            scan_batched.batched_count(table, windows, halo, state_bits), axis
-        )
-
-    return int(run(packed_table, jnp.asarray(cls_p.astype(np.int32))))
-
-
-def sharded_batched_planes(
-    packed_table: jax.Array,
-    cls: np.ndarray,
-    halo: int,
-    state_bits: int,
-    num_planes: int,
-    mesh: Mesh,
-    chunk: int = 512,
-) -> np.ndarray:
-    """END-indexed emit planes (planes, N_padded), lane axis sharded."""
-    from ahocorasick_tpu.ops import scan_batched
-
-    axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
-    n = len(cls)
-    per = -(-max(n, 1) // (n_dev * chunk)) * chunk
-    cls_p = np.pad(cls, (0, per * n_dev - n), constant_values=scan_batched.PAD_CLASS)
-
-    @functools.partial(
-        shard_map, mesh=mesh, in_specs=(P(None, None), P(axis)), out_specs=P(None, axis)
-    )
-    def run(table, cls_local):
-        hl = _left_halo(cls_local, halo, axis, n_dev)
-        windows = _windows_on_device(jnp.concatenate([hl, cls_local]), chunk, halo)
-        return scan_batched.batched_emit_planes(table, windows, halo, state_bits, num_planes)
-
-    return np.asarray(run(packed_table, jnp.asarray(cls_p.astype(np.int32))))
 
 
 def sharded_arrival_states(
@@ -417,6 +310,7 @@ def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
     plan = dispatch.count_plan(
         m, matcher.dev, allow_block=jax.default_backend() == "tpu")
     which, halo, kernel = plan.which, plan.halo, plan.fn
+    chunk = _chunk_for(halo, chunk)
 
     def prepare(cls: np.ndarray):
         n = len(cls)
@@ -431,7 +325,7 @@ def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
     table_specs = tuple(P(*([None] * np.ndim(t))) for t in plan.tables)
 
     @functools.partial(jax.jit, static_argnames=("reps",))
-    def count(cls_dev, reps: int = 1):
+    def _count(tables, cls_dev, reps: int = 1):
         @functools.partial(
             shard_map, mesh=mesh, in_specs=(table_specs, P(axis)),
             out_specs=P(),
@@ -451,7 +345,13 @@ def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
 
             return lax.psum(lax.fori_loop(0, reps, one, jnp.int32(0)), axis)
 
-        return run(plan.tables, cls_dev)
+        return run(tables, cls_dev)
+
+    def count(cls_dev, reps: int = 1):
+        # Tables travel as jit ARGUMENTS, not closure constants: a 1M-
+        # keyword count-packed table is ~0.5 GB and must not be baked
+        # into the executable.
+        return _count(plan.tables, cls_dev, reps=reps)
 
     return prepare, count, which
 
@@ -474,6 +374,7 @@ def make_sharded_planes(matcher, mesh: Mesh, chunk: int = 512):
     plan = dispatch.planes_plan(
         m, matcher.dev, allow_block=jax.default_backend() == "tpu")
     which, halo, kernel = plan.which, plan.halo, plan.fn
+    chunk = _chunk_for(halo, chunk)
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
 
@@ -507,7 +408,7 @@ def make_sharded_planes(matcher, mesh: Mesh, chunk: int = 512):
             jnp.asarray(cls_p.astype(np.int32)), NamedSharding(mesh, P(axis)))
         return np.asarray(run_all(plan.tables, cls_dev))
 
-    return fn, which
+    return fn, which, chunk
 
 
 class ShardedScanner:
@@ -536,7 +437,7 @@ class ShardedScanner:
 
     def _shard_boundaries(self, n: int, chunk: int = 512):
         """Per-device shard cut positions in text coordinates (the same
-        split ``sharded_batched_planes`` uses) — the resolve stitch points."""
+        split ``make_sharded_planes`` uses) — the resolve stitch points."""
         n_dev = self.mesh.devices.size
         per = -(-max(n, 1) // (n_dev * chunk)) * chunk
         return [per * i for i in range(1, n_dev)]
@@ -557,10 +458,7 @@ class ShardedScanner:
             # Counting needs the resolved/filtered match set for these kinds
             # (non-overlap resolution and boundary filtering change counts).
             return len(self.match_triples(text)[0])
-        return sharded_count(
-            self.matcher.compiled, self.matcher.dev.trie_next, self.matcher.dev.is_match,
-            cls, self.mesh,
-        )
+        raise AssertionError(f"unhandled kind {m.kind!r}")  # all 5 return above
 
     def match_triples(self, text: str):
         m = self.matcher.compiled
@@ -583,10 +481,16 @@ class ShardedScanner:
                 )
 
                 # The internal AC sees the same UTF-16 unit count (classes
-                # differ, positions don't), so the shard cuts are len(cls).
+                # differ, positions don't), so the shard cuts follow the
+                # INNER scanner's planes chunk.
+                inner_trip = self._inner.match_triples(text)
+                if self._inner._planes is not None:
+                    inner_chunk = self._inner._planes[2]
+                else:  # host-cursor path: boundaries are irrelevant
+                    inner_chunk = 512
                 return resolve_shortest_sharded(
-                    *self._inner.match_triples(text),
-                    boundaries=self._shard_boundaries(len(cls)),
+                    *inner_trip,
+                    boundaries=self._shard_boundaries(len(cls), inner_chunk),
                     max_depth=ac.compiled.max_depth,
                 )
             from ahocorasick_tpu.core.stream import make_cursor
@@ -616,7 +520,7 @@ class ShardedScanner:
         # single-chip engine rate.
         if self._planes is None:
             self._planes = make_sharded_planes(self.matcher, self.mesh)
-        fn, which = self._planes
+        fn, which, planes_chunk = self._planes
         bits = fn(cls)
         layout = "hotstate" if which == "hotstate" else "planes"
         triples = scan_batched.ac_matches_batched(m, cls, bits, layout=layout)
@@ -629,7 +533,8 @@ class ShardedScanner:
             from ahocorasick_tpu.resolve.parallel import resolve_longest_sharded
 
             return resolve_longest_sharded(
-                *triples, boundaries=self._shard_boundaries(len(cls)),
+                *triples,
+                boundaries=self._shard_boundaries(len(cls), planes_chunk),
                 max_depth=m.max_depth,
             )
         if m.kind == "whole_word":

@@ -292,3 +292,37 @@ def test_sharded_whole_word_longest_matches_gold():
     got = list(zip(*[a.tolist() for a in sc.match_triples(text)]))
     assert [(s, e) for s, e, _ in got] == want
     assert sc.count(text) == len(want)
+
+
+def test_batched2_on_quotient_table(monkeypatch):
+    """The stride-2 cross-check engine sizes itself off the packed
+    (quotient) table like every sibling — a row-compressed matcher whose
+    tiny quotient passes the fits gate must scan exactly (found by
+    review: build_packed2 previously reshaped with trie-state counts)."""
+    from ahocorasick_tpu.core import compiler as comp
+    from ahocorasick_tpu.ops import scan_batched2
+
+    monkeypatch.setattr(comp, "_DENSE_LIMIT", 4)
+    kws = ["ab", "bca", "a", "cc"]
+    m = AhoCorasickSet(kws, engine="device")
+    assert m.compiled.is_row_compressed
+    assert scan_batched2.fits(m.compiled)
+    m.device_engine = "batched2"
+    rng = np.random.default_rng(5)
+    text = "".join(rng.choice(list("abc "), size=3000))
+    gold_m = AhoCorasickSet(kws, engine="gold")
+    assert m.match(text) == gold_m.match(text)
+
+
+def test_count_force_batched_knob(monkeypatch):
+    """device_engine='batched' must force the batched COUNT kernel too
+    (the knob previously only governed the planes path)."""
+    from ahocorasick_tpu.ops import dispatch
+
+    m = AhoCorasickSet(["he", "she", "hers"], engine="device")
+    picked = dispatch.count_plan(m.compiled, m.dev)
+    forced = dispatch.count_plan(m.compiled, m.dev, force_batched=True)
+    assert picked.which == "block" and forced.which == "batched"
+    text = "ushers she he " * 500
+    m.device_engine = "batched"
+    assert m.count(text) == len(AhoCorasickSet(["he", "she", "hers"], engine="gold").match(text))

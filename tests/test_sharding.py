@@ -199,3 +199,19 @@ def test_sharded_hotstate_planes_long_keywords():
     want = [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
     assert got == want
     assert sc.count(text) == len(want)
+
+
+def test_sharded_halo_exceeds_chunk():
+    """Keywords longer than the 512-unit window chunk force halo > chunk;
+    the sharded builders must widen the chunk instead of silently clamping
+    the warmup (found by review: _windows_on_device reshape clamp)."""
+    kw = "ab" * 300  # 600 units > 512 chunk
+    kws = [kw, "ab", "ba", "bb"]
+    m = act.AhoCorasickSet(kws, True, engine="device")
+    rng = random.Random(3)
+    text = ("ab" * 310 + "x") * 3 + _random_text(rng, 3000, "ab")
+    sc = ShardedScanner(m, data_mesh())
+    want = [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
+    s, e, v = sc.match_triples(text)
+    assert list(zip(s.tolist(), e.tolist())) == want
+    assert sc.count(text) == len(want)
