@@ -756,9 +756,11 @@ class ShortestMatchSet(_Matcher):
     insert-surviving keywords with the SAME fast engines every other kind
     uses (``pick_engine``: block / rowdfa / batched), then run the exact
     min-end greedy resolve (``resolve.queue.resolve_shortest`` — the
-    equivalence argument lives on that docstring).  ``from_compiled``
-    artifacts carry no keyword list, so they fall back to the sequential
-    restart-baked device scan (dense) or the host cursor.
+    equivalence argument lives on that docstring).  ``save`` persists the
+    internal AC automaton as a ``<path>.ac`` sidecar and ``load_matcher``
+    restores it, so loaded artifacts keep this path; without the sidecar,
+    ``from_compiled`` falls back to the sequential restart-baked device
+    scan (dense) or the host cursor.
     """
 
     kind = SHORTEST
@@ -781,7 +783,9 @@ class ShortestMatchSet(_Matcher):
     @property
     def _ac(self):
         """Internal AC matcher over the insert-surviving keywords (lazy);
-        None for ``from_compiled`` artifacts (no keyword source)."""
+        None for ``from_compiled`` artifacts without an AC sidecar."""
+        if getattr(self, "_ac_cache", None) is not None:
+            return self._ac_cache  # keyword-built earlier, or sidecar-loaded
         src = getattr(self, "_src", None)
         if src is None:
             return None
@@ -816,14 +820,54 @@ class ShortestMatchSet(_Matcher):
         """Shortest-charmap classes -> internal-AC-charmap classes."""
         return cls if self._cls_map is None else self._cls_map[cls]
 
+    # -------- artifact persistence (internal AC rides as a sidecar) ------- #
+
+    def save(self, path) -> None:
+        """Persist the compiled automaton AND the internal AC automaton
+        (``<path>.ac``), so ``load_matcher`` restores the full device path
+        (candidates-then-resolve needs the survivors' AC; without the
+        sidecar a loaded shortest matcher only has the sequential scan)."""
+        super().save(path)
+        if isinstance(path, (str, bytes)) or hasattr(path, "__fspath__"):
+            ac = self._ac
+            if ac is not None:
+                from ahocorasick_tpu.core import artifact
+
+                artifact.save(ac.compiled, str(path) + ".ac")
+
+    @classmethod
+    def from_compiled(cls, compiled, engine: str = "auto", ac_compiled=None):
+        """``ac_compiled``: the sidecar internal-AC automaton (same save);
+        restores the fast candidates-then-resolve device path."""
+        if ac_compiled is None:
+            return super().from_compiled(compiled, engine=engine)
+        self = _Matcher.from_compiled.__func__(cls, compiled, "auto")
+        self._src = None
+        ac_cls = AhoCorasickMap if cls.is_map else AhoCorasickSet
+        self._ac_cache = ac_cls.from_compiled(ac_compiled)
+        mc, ac = compiled, ac_compiled
+        if np.array_equal(mc.charmap, ac.charmap):
+            self._cls_map = None
+        else:
+            M = np.zeros(mc.num_classes, dtype=np.int32)
+            M[mc.charmap] = ac.charmap
+            self._cls_map = M
+        if engine == "device" and not _device_capable(ac_compiled, AC):
+            raise ValueError(
+                "sidecar AC automaton has no device path; use engine='auto'"
+            )
+        self.engine = engine
+        return self
+
     def _stream_ac(self):
         """Streaming candidate source: a SUPPLIER of the internal AC
         automaton + class remap, resolved lazily by the cursor only when a
         feed crosses the device threshold — small streams never pay the
         second compile (mirrors ``_pick_engine``'s small-input guard).
-        None for ``from_compiled`` artifacts / gold matchers (the cursor
-        then keeps the sequential restart-baked scan)."""
-        if self.engine == "gold" or getattr(self, "_src", None) is None:
+        None for gold matchers; the supplier itself returns None for
+        ``from_compiled`` artifacts without an AC sidecar (the cursor then
+        keeps the sequential restart-baked scan)."""
+        if self.engine == "gold":
             return None
 
         def supplier():
@@ -1020,11 +1064,25 @@ _CLASS_BY_KIND = {}
 
 
 def load_matcher(path, allow_pickle: bool = False, engine: str = "auto"):
-    """Load a saved matcher artifact, returning the right matcher class."""
+    """Load a saved matcher artifact, returning the right matcher class.
+
+    Shortest artifacts saved by ``ShortestMatchSet.save`` carry the
+    internal AC automaton as a ``<path>.ac`` sidecar; when present it is
+    loaded too, restoring the fast candidates-then-resolve device path."""
+    import os as _os
+
     from ahocorasick_tpu.core import artifact
 
     compiled = artifact.load(path, allow_pickle=allow_pickle)
     cls = _CLASS_BY_KIND[(compiled.kind, compiled.values is not None)]
+    if compiled.kind == SHORTEST and (
+        isinstance(path, (str, bytes)) or hasattr(path, "__fspath__")
+    ):
+        sidecar = str(path) + ".ac"
+        if _os.path.exists(sidecar):
+            ac_compiled = artifact.load(sidecar, allow_pickle=allow_pickle)
+            return cls.from_compiled(compiled, engine=engine,
+                                     ac_compiled=ac_compiled)
     return cls.from_compiled(compiled, engine=engine)
 
 

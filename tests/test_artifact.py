@@ -188,3 +188,39 @@ def test_cand_resume_point_into_artifact_matcher():
     s2 = m2.stream()
     s2.load_state_dict(d)
     assert s2.feed("cyy", is_final=True) == [(2, 5)]
+
+
+def test_shortest_artifact_sidecar_restores_device_path(tmp_path):
+    """ShortestMatch save/load round-trips the internal AC automaton
+    (<path>.ac sidecar), so loaded matchers keep the fast candidates-then-
+    resolve device path — previously from_compiled shortest fell back to
+    the sequential scan forever."""
+    from ahocorasick_tpu import load_matcher
+    from ahocorasick_tpu.models.matchers import ShortestMatchMap
+
+    kws = ["she", "he", "hers", "abab"]
+    m = ShortestMatchMap(kws, ["S", "H", "R", "A"])
+    text = "ushers abab hers she " * 200
+    want = m.match(text)
+
+    p = str(tmp_path / "shortest.npz")
+    m.save(p)
+    import os
+
+    assert os.path.exists(p + ".ac")
+
+    m2 = load_matcher(p, engine="device")
+    assert m2._ac is not None
+    assert m2.match(text) == want
+    assert m2._pick_engine(len(text)) == "device"
+    # Streams get the candidates path too (the supplier resolves the
+    # sidecar cache).
+    import io
+
+    assert m2.match_stream(io.StringIO(text), chunk_units=997) == want
+
+    # Without the sidecar, loading still works on the sequential path.
+    os.remove(p + ".ac")
+    m3 = load_matcher(p)
+    assert m3._ac is None
+    assert m3.match(text) == want
