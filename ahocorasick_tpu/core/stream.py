@@ -520,6 +520,97 @@ class _LongestCursor(_DfaCursor):
             self.queue.push(int(s), int(e), int(v))
 
 
+class _WwCursor:
+    """Streaming cursor for the plain WHOLE_WORD kind, riding the batch
+    engines: AC candidates + vectorized boundary filter per feed.
+
+    Equivalence with the reference's restart walk is the batch path's
+    (pure-word-char keywords match whole words iff flanked by non-word
+    chars or text edges, ``WholeWordMatchSet.java:47-132``); streaming
+    adds exactly one new case — a candidate ending at the feed's last
+    unit cannot check its RIGHT boundary until the next unit arrives, so
+    it is held pending and delivered first next feed (its end precedes
+    every new candidate's, preserving emission order).  The tail carries
+    ``max_depth + 1`` classes: pending candidates start as far back as
+    ``off - max_depth``, and their LEFT boundary check needs the unit
+    before that.
+    """
+
+    def __init__(self, m: CompiledMatcher, dev=None, engine: str = "auto"):
+        self.m = m
+        self.src = _CandidateSource(m, dev, engine)
+        self.keep = max(m.max_depth, 1) + 1  # tail length (see docstring)
+        self.tail = np.zeros(0, dtype=np.int32)
+        self.off = 0
+        self.pending: List[Match] = []  # candidates with end == off
+
+    def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:
+        m = self.m
+        buf = np.concatenate([self.tail, cls]) if len(self.tail) else cls
+        off0 = self.off - len(self.tail)
+        w = np.asarray(m.class_is_word)[buf] if len(buf) else np.zeros(0, bool)
+        out: List[Match] = []
+
+        def left_ok(s: int) -> bool:
+            return s == 0 or not w[s - 1 - off0]
+
+        # Pending candidates end exactly at self.off; buf[len(tail)] is the
+        # first new unit (their right-boundary witness).
+        for s, e, v in self.pending:
+            if not left_ok(s):
+                continue
+            if len(cls) == 0:
+                if is_final:
+                    out.append((s, e, v))
+                continue
+            if not w[e - off0]:
+                out.append((s, e, v))
+        self.pending = [] if (len(cls) or is_final) else self.pending
+
+        if len(cls):
+            starts, ends, vals = self.src.candidates(buf, self.off - off0)
+            new_off = self.off + len(cls)
+            for s, e, v in zip((starts + off0).tolist(), (ends + off0).tolist(),
+                               vals.tolist()):
+                if not left_ok(s):
+                    continue
+                if e == new_off:
+                    if is_final:
+                        out.append((s, e, v))
+                    else:
+                        self.pending.append((s, e, v))
+                elif not w[e - off0]:
+                    out.append((s, e, v))
+        self.off += len(cls)
+        k = min(len(buf), self.keep)
+        self.tail = np.asarray(buf[len(buf) - k:], dtype=np.int32)
+        return out
+
+    def state_dict(self) -> dict:
+        return {"tail": self.tail.tolist(), "off": int(self.off),
+                "pending": [list(p) for p in self.pending]}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.off = int(d["off"])
+        if "tail_off" in d:  # pre-round-3 _WordCursor format
+            self.tail = np.asarray(d["tail"], dtype=np.int32)[-self.keep:]
+            # Recover boundary-pending candidates: those ending at off lie
+            # within the tail (length max_depth+1), so a from-root scan of
+            # the tail finds them exactly (d-synchronization).
+            self.pending = []
+            if len(self.tail):
+                starts, ends, vals = self.src.candidates(
+                    self.tail, len(self.tail) - 1)
+                off0 = self.off - len(self.tail)
+                self.pending = [
+                    (int(s) + off0, int(e) + off0, int(v))
+                    for s, e, v in zip(starts, ends, vals)
+                ]
+            return
+        self.tail = np.asarray(d["tail"], dtype=np.int32)
+        self.pending = [tuple(p) for p in d.get("pending", [])]
+
+
 class _WordCursor:
     """Streaming cursor for the whole-word kinds (tail-replay design)."""
 
@@ -684,6 +775,8 @@ def make_cursor(m: CompiledMatcher, dev=None, engine: str = "auto", ac=None):
         return _LongestCursor(m, dev, engine)
     if m.kind == SHORTEST:
         return _ShortestCursor(m, dev, engine, ac=ac)
+    if m.kind == WHOLE_WORD and m.dfa_next is not None:
+        return _WwCursor(m, dev, engine)
     return _WordCursor(m)
 
 

@@ -312,3 +312,56 @@ def test_wwl_separator_keyword_matches_at_stream_start():
     want = m2.match(t)
     for chunk in (1, 2, 3, 7):
         assert m2.match_stream(io.StringIO(t), chunk_units=chunk) == want
+
+
+@pytest.mark.parametrize("chunk", [3, 16, 600, 4096])
+def test_device_stream_whole_word(chunk):
+    """Plain whole-word streams ride the batch engines (AC candidates +
+    boundary filter with end-of-feed holdback) — conformance vs gold."""
+    from ahocorasick_tpu.models.matchers import WholeWordMatchMap
+
+    kws = KEYWORDS[WholeWordMatchSet]
+    m = WholeWordMatchSet(kws, engine="device")
+    gold = WholeWordMatchSet(kws, engine="gold")
+    expected = gold.match(TEXT)
+    assert m.match_stream(io.StringIO(TEXT), chunk_units=chunk) == expected
+    mm = WholeWordMatchMap(kws, list(range(len(kws))), engine="device")
+    got = mm.match_stream(io.StringIO(TEXT), chunk_units=chunk)
+    assert [(s, e) for s, e, _ in got] == expected
+
+
+def test_whole_word_stream_boundary_holdback_and_resume():
+    """A match ending exactly at a feed boundary is held until its right
+    boundary is known, and survives a state_dict round-trip."""
+    import json
+
+    m = WholeWordMatchSet(["he", "hers"], engine="device")
+    s1 = m.stream()
+    assert s1.feed("x he", is_final=False) == []  # 'he' pending (right edge)
+    d = json.loads(json.dumps(s1.state_dict()))
+    s2 = m.stream()
+    s2.load_state_dict(d)
+    assert s2.feed(" x", is_final=True) == [(2, 4)]
+    s3 = m.stream()
+    s3.load_state_dict(d)
+    assert s3.feed("rs x", is_final=True) == [(2, 6)]  # it was "hers"
+    s4 = m.stream()
+    s4.load_state_dict(d)
+    assert s4.feed("", is_final=True) == [(2, 4)]  # text ends: boundary ok
+
+
+def test_whole_word_stream_fuzz_vs_gold():
+    rng = np.random.default_rng(31)
+    kws = ["he", "she", "hers", "abab", "stand", "x"]
+    m = WholeWordMatchSet(kws, engine="device")
+    gold = WholeWordMatchSet(kws, engine="gold")
+    for trial in range(10):
+        text = _word_soup(rng, int(rng.integers(30, 250)))
+        expected = gold.match(text)
+        pieces = []
+        i = 0
+        while i < len(text):
+            k = int(rng.integers(1, 500))
+            pieces.append(text[i : i + k])
+            i += k
+        assert m.match_stream(pieces) == expected, trial
