@@ -611,6 +611,107 @@ class _WwCursor:
         self.pending = [tuple(p) for p in d.get("pending", [])]
 
 
+class _WwlCursor:
+    """Streaming cursor for WHOLE_WORD_LONGEST riding the device walks.
+
+    Per feed: compute walk outcomes for every word start in tail+feed with
+    the compacted device engine (``scan_wwl.wwl_walks_at`` — the batch
+    path's kernel, same outcome rules), then follow the sequential restart
+    chain on the host exactly as the batch ``follow_chain`` does.  A walk
+    whose die position lands in the padding (it would read units that
+    have not arrived) is UNDECIDED: the chain stops before it and the walk
+    replays next feed — its start lies within the carried ``max_depth+1``
+    tail, the same bound the tail-replay cursor used.  Emission happens
+    only for decided walks and the chain cursor (``resume``) only advances
+    past them, so replays can never double-deliver.
+    """
+
+    def __init__(self, m: CompiledMatcher, dev, engine: str = "auto"):
+        self.m = m
+        self.dev = dev
+        self.keep = max(m.max_depth, 1) + 1
+        self.tail = np.zeros(0, dtype=np.int32)
+        self.off = 0
+        self.resume = 0  # global: next walk starts at/after this position
+
+    def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:
+        import jax.numpy as jnp
+
+        from ahocorasick_tpu.models.matchers import _bucket_depth, _bucket_up
+        from ahocorasick_tpu.ops import scan_wwl
+
+        m = self.m
+        buf = np.concatenate([self.tail, cls]) if len(self.tail) else cls
+        off0 = self.off - len(self.tail)
+        n_buf = len(buf)
+        out: List[Match] = []
+        if n_buf == 0:
+            return out
+        is_word = np.asarray(m.class_is_word)[buf]
+        prev = np.concatenate([[True], is_word[:-1]])
+        if off0 == 0:
+            # The reference's initial walk starts at position 0 whatever
+            # its wordness (same rule as _WwCursor/_WordCursor).
+            prev[0] = True
+            lanes = np.nonzero(is_word & ~prev)[0]
+            if len(lanes) == 0 or lanes[0] != 0:
+                lanes = np.concatenate([np.zeros(1, dtype=np.int64), lanes])
+        else:
+            lanes = np.nonzero(is_word & ~prev)[0]
+        if len(lanes) == 0:
+            self._advance(buf, len(cls))
+            return out
+
+        d = _bucket_depth(m.max_depth)
+        # Bucket the padded length so varying feed sizes reuse executables.
+        L = _bucket_up(n_buf + d + 1, minimum=1024)
+        buf_p = np.zeros(L, dtype=np.int32)
+        buf_p[:n_buf] = buf
+        Wp = _bucket_up(len(lanes), minimum=256)
+        starts = np.full(Wp, n_buf, dtype=np.int32)
+        starts[: len(lanes)] = lanes
+        die, has, ms, me, mv = scan_wwl.wwl_walks_at(
+            self.dev.trie_next, self.dev.own_len, self.dev.own_val,
+            self.dev.fail_len, self.dev.fail_off, self.dev.fail_val,
+            self.dev.class_is_word, jnp.asarray(buf_p), jnp.asarray(starts),
+            d,
+        )
+        W = len(lanes)
+        die = np.asarray(die)[:W]
+        has = np.asarray(has)[:W]
+        ms = np.asarray(ms)[:W]
+        me = np.asarray(me)[:W]
+        mv = np.asarray(mv)[:W]
+
+        r_loc = max(self.resume - off0, 0)
+        idx = int(np.searchsorted(lanes, r_loc, side="left"))
+        while idx < W:
+            p = int(die[idx])
+            if p >= n_buf and not is_final:
+                break  # undecided: reads units that have not arrived
+            if has[idx]:
+                out.append((int(ms[idx]) + off0, int(me[idx]) + off0,
+                            int(mv[idx])))
+            self.resume = off0 + p + 1
+            idx = int(np.searchsorted(lanes, p, side="right"))
+        self._advance(buf, len(cls))
+        return out
+
+    def _advance(self, buf: np.ndarray, n_new: int) -> None:
+        self.off += n_new
+        k = min(len(buf), self.keep)
+        self.tail = np.asarray(buf[len(buf) - k:], dtype=np.int32)
+
+    def state_dict(self) -> dict:
+        return {"tail": self.tail.tolist(), "off": int(self.off),
+                "resume": int(self.resume), "wwl_dev": True}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.off = int(d["off"])
+        self.resume = int(d.get("resume", 0))
+        self.tail = np.asarray(d["tail"], dtype=np.int32)[-self.keep:]
+
+
 class _WordCursor:
     """Streaming cursor for the whole-word kinds (tail-replay design)."""
 
@@ -777,6 +878,9 @@ def make_cursor(m: CompiledMatcher, dev=None, engine: str = "auto", ac=None):
         return _ShortestCursor(m, dev, engine, ac=ac)
     if m.kind == WHOLE_WORD and m.dfa_next is not None:
         return _WwCursor(m, dev, engine)
+    if (m.kind == WHOLE_WORD_LONGEST and dev is not None
+            and engine != "gold" and not m.is_row_compressed):
+        return _WwlCursor(m, dev, engine)
     return _WordCursor(m)
 
 

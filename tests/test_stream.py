@@ -365,3 +365,57 @@ def test_whole_word_stream_fuzz_vs_gold():
             pieces.append(text[i : i + k])
             i += k
         assert m.match_stream(pieces) == expected, trial
+
+
+@pytest.mark.parametrize("chunk", [3, 16, 600, 4096])
+def test_device_stream_whole_word_longest(chunk):
+    """WWL streams ride the device compact-walk engine with the host
+    restart chain; undecided walks at feed edges replay exactly."""
+    kws = KEYWORDS[WholeWordLongestMatchSet]
+    m = WholeWordLongestMatchSet(kws, engine="device")
+    gold = WholeWordLongestMatchSet(kws, engine="gold")
+    from ahocorasick_tpu.core.stream import _WwlCursor
+
+    assert isinstance(m._stream_scanner(None).cursor, _WwlCursor)
+    expected = gold.match(TEXT)
+    assert m.match_stream(io.StringIO(TEXT), chunk_units=chunk) == expected
+
+
+def test_device_stream_wwl_fuzz_and_separators():
+    rng = np.random.default_rng(61)
+    kws = KEYWORDS[WholeWordLongestMatchSet] + ["- x", " "]
+    m = WholeWordLongestMatchSet(kws, engine="device")
+    gold = WholeWordLongestMatchSet(kws, engine="gold")
+    for trial in range(8):
+        text = _word_soup(rng, int(rng.integers(20, 200)))
+        expected = gold.match(text)
+        pieces = []
+        i = 0
+        while i < len(text):
+            k = int(rng.integers(1, 300))
+            pieces.append(text[i : i + k])
+            i += k
+        assert m.match_stream(pieces) == expected, trial
+    # Separator-leading keywords at stream start (initial-walk rule).
+    m2 = WholeWordLongestMatchSet([" ", "-"], engine="device")
+    g2 = WholeWordLongestMatchSet([" ", "-"], engine="gold")
+    for chunk in (1, 3):
+        assert (m2.match_stream(io.StringIO(" -x "), chunk_units=chunk)
+                == g2.match(" -x "))
+
+
+def test_device_stream_wwl_resume():
+    import json
+
+    kws = KEYWORDS[WholeWordLongestMatchSet]
+    m = WholeWordLongestMatchSet(kws, engine="device")
+    text = TEXT + " " + TEXT
+    cut = len(text) // 3
+    expected = m.match_stream(io.StringIO(text), chunk_units=89)
+    s1 = m.stream(chunk_units=89)
+    got = s1.feed(text[:cut], is_final=False)
+    d = json.loads(json.dumps(s1.state_dict()))
+    s2 = m.stream()
+    s2.load_state_dict(d)
+    got += s2.feed(text[cut:], is_final=True)
+    assert got == expected
