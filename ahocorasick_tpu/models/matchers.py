@@ -433,14 +433,13 @@ class _Matcher:
         return [(int(s), int(e)) for s, e in zip(starts, ends)]
 
     def _listener_chunkable(self, n: int) -> bool:
-        # The DFA-kind stream cursors ride the same device engines as batch
-        # mode, so chunked delivery costs nothing; the whole-word cursors
-        # walk on the host, so those kinds keep the full-scan path.
-        return (
-            n > self._LISTENER_CHUNK
-            and self.kind in (AC, LONGEST, SHORTEST)
-            and self._pick_engine(n) == "device"
-        )
+        # Every kind's stream cursor now rides the device engines (DFA
+        # kinds: tail-carried batched scans; whole-word kinds: candidates/
+        # compact-walk engines), so chunked delivery costs nothing and a
+        # False listener saves the unscanned suffix for all of them.
+        # Row-compressed shapes without a device path pick "gold" here and
+        # keep the full-scan path.
+        return n > self._LISTENER_CHUNK and self._pick_engine(n) == "device"
 
     def _match_chunked(self, haystack: str, listener) -> None:
         """Chunk-at-a-time listener delivery; stops reading on False.

@@ -68,3 +68,34 @@ def test_chunked_listener_map_values_and_stop_mid_stream():
 
     m.match(text, listener)
     assert got == full[:stop_at]
+
+
+def test_chunked_listener_whole_word_kinds():
+    """Whole-word kinds now chunk listener delivery too (their stream
+    cursors are device-backed); order equals the full-scan path and an
+    early False stops the scan."""
+    from ahocorasick_tpu.models.matchers import (
+        WholeWordLongestMatchSet,
+        WholeWordMatchSet,
+    )
+
+    rng = np.random.default_rng(12)
+    words = []
+    for _ in range(800):
+        words.append("".join(rng.choice(list("abchers"), size=int(rng.integers(2, 6)))))
+    text = " ".join(words)
+    for cls in (WholeWordMatchSet, WholeWordLongestMatchSet):
+        m = cls(["he", "she", "hers", "ab", "ch"], engine="device")
+        expected = m.match(text)
+        m._LISTENER_CHUNK = 512
+        got = []
+        m.match(text, lambda t, s, e: got.append((s, e)) or True)
+        assert got == expected, cls.__name__
+        # Early stop scans only a prefix.
+        m2 = cls(["he"], engine="device")
+        m2._LISTENER_CHUNK = 512
+        long_text = "he " + "x" * 20000
+        calls = []
+        m2.match(long_text, lambda t, s, e: (calls.append((s, e)), False)[1])
+        assert calls == [(0, 2)]
+        assert m2.last_stats.units <= 1024, m2.last_stats.units
