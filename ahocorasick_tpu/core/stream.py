@@ -569,18 +569,23 @@ class _WwCursor:
 
         if len(cls):
             starts, ends, vals = self.src.candidates(buf, self.off - off0)
-            new_off = self.off + len(cls)
-            for s, e, v in zip((starts + off0).tolist(), (ends + off0).tolist(),
-                               vals.tolist()):
-                if not left_ok(s):
-                    continue
-                if e == new_off:
-                    if is_final:
-                        out.append((s, e, v))
-                    else:
-                        self.pending.append((s, e, v))
-                elif not w[e - off0]:
-                    out.append((s, e, v))
+            # Vectorized boundary filter (same predicate as the batch path;
+            # a per-candidate Python loop dominated the feed cost).
+            sl = starts.astype(np.int64)  # local coords
+            el = ends.astype(np.int64)
+            sg = sl + off0
+            lok = (sg == 0) | ~w[np.maximum(sl - 1, 0)]
+            at_edge = el == len(buf)
+            rok = ~at_edge & ~w[np.minimum(el, len(buf) - 1)]
+            deliver = lok & (rok | (at_edge & is_final))
+            out.extend(zip((sl[deliver] + off0).tolist(),
+                           (el[deliver] + off0).tolist(),
+                           vals[deliver].tolist()))
+            if not is_final:
+                hold = lok & at_edge
+                self.pending.extend(zip((sl[hold] + off0).tolist(),
+                                        (el[hold] + off0).tolist(),
+                                        vals[hold].tolist()))
         self.off += len(cls)
         k = min(len(buf), self.keep)
         self.tail = np.asarray(buf[len(buf) - k:], dtype=np.int32)
@@ -683,6 +688,10 @@ class _WwlCursor:
         me = np.asarray(me)[:W]
         mv = np.asarray(mv)[:W]
 
+        # Precompute each walk's successor slot (first word start after its
+        # die position) so the chain loop is pure integer hopping — a
+        # per-step searchsorted dominated the feed cost.
+        nxt = np.searchsorted(lanes, die, side="right")
         r_loc = max(self.resume - off0, 0)
         idx = int(np.searchsorted(lanes, r_loc, side="left"))
         while idx < W:
@@ -693,7 +702,7 @@ class _WwlCursor:
                 out.append((int(ms[idx]) + off0, int(me[idx]) + off0,
                             int(mv[idx])))
             self.resume = off0 + p + 1
-            idx = int(np.searchsorted(lanes, p, side="right"))
+            idx = int(nxt[idx])
         self._advance(buf, len(cls))
         return out
 
@@ -876,12 +885,30 @@ def make_cursor(m: CompiledMatcher, dev=None, engine: str = "auto", ac=None):
         return _LongestCursor(m, dev, engine)
     if m.kind == SHORTEST:
         return _ShortestCursor(m, dev, engine, ac=ac)
-    if m.kind == WHOLE_WORD and m.dfa_next is not None:
-        return _WwCursor(m, dev, engine)
-    if (m.kind == WHOLE_WORD_LONGEST and dev is not None
-            and engine != "gold" and not m.is_row_compressed):
-        return _WwlCursor(m, dev, engine)
+    if m.kind in (WHOLE_WORD, WHOLE_WORD_LONGEST):
+        # The device cursors win on accelerators; on the CPU backend the
+        # per-feed kernel execution costs more than the host tail-replay
+        # walk, so "auto" keeps the host cursor there (explicit
+        # engine="device" forces the device cursors — how the CPU test
+        # suite pins their conformance).
+        want_device = engine == "device" or (
+            engine != "gold" and _default_backend_is_accelerator()
+        )
+        if (want_device and m.kind == WHOLE_WORD and m.dfa_next is not None):
+            return _WwCursor(m, dev, engine)
+        if (want_device and m.kind == WHOLE_WORD_LONGEST and dev is not None
+                and not m.is_row_compressed):
+            return _WwlCursor(m, dev, engine)
     return _WordCursor(m)
+
+
+def _default_backend_is_accelerator() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
 
 
 class StreamScanner:

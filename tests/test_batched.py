@@ -206,6 +206,8 @@ def test_sparse_plane_compaction_matches_dense():
     kws = ["he", "she", "hers", "aba", "bab"]
     text = "".join(rng.choice(list("herab sx"), size=70000))
     old = scan_batched._SPARSE_MIN_UNITS
+    old_cpu = scan_batched._SPARSE_ON_CPU
+    scan_batched._SPARSE_ON_CPU = True
     try:
         for kind, cls_m in [("ac", matchers.AhoCorasickSet),
                             ("longest", matchers.LongestMatchSet),
@@ -219,6 +221,7 @@ def test_sparse_plane_compaction_matches_dense():
             assert len(dense) > 0
     finally:
         scan_batched._SPARSE_MIN_UNITS = old
+        scan_batched._SPARSE_ON_CPU = old_cpu
 
 
 def test_sparse_compaction_overflow_capacity_growth():
@@ -239,9 +242,12 @@ def test_sparse_compaction_overflow_capacity_growth():
     text = "".join(parts)
     m = matchers.AhoCorasickSet(["ab"], engine="device")
     old = scan_batched._SPARSE_MIN_UNITS
+    old_cpu = scan_batched._SPARSE_ON_CPU
     try:
         scan_batched._SPARSE_MIN_UNITS = 1
+        scan_batched._SPARSE_ON_CPU = True
         got = m.count(text)
     finally:
         scan_batched._SPARSE_MIN_UNITS = old
+        scan_batched._SPARSE_ON_CPU = old_cpu
     assert got == text.count("ab")
