@@ -35,7 +35,11 @@ def ac_kernel_rate(m, cls: np.ndarray, reps: int = 8, chunk: int = 512):
     # (~tens of ms through the tunnel): target >= 128 Mi units per call.
     reps = max(reps, -(-(128 << 20) // max(len(cls), 1)))
 
-    plan = dispatch.count_plan(m.compiled, m.dev)
+    # Off-TPU the Pallas block kernel runs interpreted — a many-round chain
+    # over >=128 Mi chars effectively hangs, so exclude it there (the same
+    # guard the sharded builders use).
+    plan = dispatch.count_plan(m.compiled, m.dev,
+                               allow_block=jax.default_backend() == "tpu")
     which, count_fn = plan.which, plan.fn
     windows = scan_batched.chunk_classes(cls, chunk, plan.halo)
     wdev = jax.device_put(jnp.asarray(windows))
@@ -70,20 +74,13 @@ def wwl_kernel_rate(m, cls: np.ndarray, reps: int = 8):
     import jax.numpy as jnp
     from jax import lax
 
-    from ahocorasick_tpu.models.matchers import _bucket_depth, _bucket_up
-    from ahocorasick_tpu.ops import scan_pfac, scan_wwl
-    from ahocorasick_tpu.resolve.wholeword import word_starts
+    from ahocorasick_tpu.models.matchers import _wwl_compact_lanes
+    from ahocorasick_tpu.ops import scan_wwl
 
     reps = max(reps, -(-(16 << 20) // max(len(cls), 1)))
-    d = _bucket_depth(m.compiled.max_depth)
-    cls_p = scan_pfac.pad_classes(cls, d + 1, bucket=4096)
-    is_word = np.asarray(m.compiled.class_is_word)[cls]
-    ws = word_starts(is_word)
-    lanes = ws if (len(ws) and ws[0] == 0) else np.concatenate(
-        [np.zeros(1, dtype=np.int64), ws])
-    Wp = _bucket_up(max(len(lanes), 1), minimum=256)
-    starts = np.full(Wp, len(cls), dtype=np.int32)
-    starts[: len(lanes)] = lanes
+    # The ONE production lane setup (padding, bucketing, lane-0 rule) —
+    # shared with WholeWordLongestMatchSet._device_triples.
+    cls_p, starts, lanes, ws, d = _wwl_compact_lanes(m.compiled, cls)
     tables = (m.dev.trie_next, m.dev.own_len, m.dev.own_val, m.dev.fail_len,
               m.dev.fail_off, m.dev.fail_val, m.dev.class_is_word)
     cdev = jax.device_put(jnp.asarray(cls_p))

@@ -22,7 +22,9 @@ def word_soup(rng: np.random.Generator, keywords: list, n_units: int, hit_rate=0
     total = 0
     kw = list(rng.choice(keywords, size=min(512, len(keywords))))
     letters = "abcdefghijklmnopqrstuvwxyz"
-    while total < n_units:
+    # total counts a trailing separator join never appends, so require one
+    # extra unit: the joined text is then always >= n_units long.
+    while total < n_units + 1:
         if rng.random() < hit_rate:
             w = kw[int(rng.integers(len(kw)))]
         else:
@@ -367,6 +369,14 @@ def main(argv=None) -> None:
         # Env vars are overridden by site-level backend pinning; the config
         # knob after import is authoritative (see tests/conftest.py).
         jax.config.update("jax_platforms", "cpu")
+    elif args.platform == "tpu":
+        import jax
+
+        if jax.default_backend() not in ("tpu", "axon"):
+            raise SystemExit(
+                f"--platform tpu requested but backend is "
+                f"{jax.default_backend()!r}; no TPU attached"
+            )
 
     if args.scaling:
         scaling_bench(args.keywords, args.units, max(args.reps, 4), args.seed)

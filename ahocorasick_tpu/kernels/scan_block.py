@@ -177,8 +177,11 @@ def block_emit_planes(
     W: int,
     G: int,
 ) -> jax.Array:
-    """END-indexed emit planes uint32[1, B*C] in flat text order
-    (C = W - halo; window b's positions are contiguous)."""
+    """END-indexed emit planes uint32[1, G*1024*C] in flat text order
+    (C = W - halo; window b's positions are contiguous).  NOTE: the lane
+    axis is the regrouped G*1024 (B rounded up), not the caller's B — the
+    padded trailing lanes are PAD_CLASS and never emit; callers trim to
+    the text length (see ops/dispatch.py)."""
     R = num_blocks
     C = W - halo
     A = np.uint32(num_classes)

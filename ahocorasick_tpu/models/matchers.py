@@ -584,6 +584,26 @@ def _bucket_depth(d: int) -> int:
 _BATCH_CHUNK = 512
 
 
+def _wwl_compact_lanes(compiled: CompiledMatcher, cls: np.ndarray):
+    """Compact walk-lane inputs for the whole-word-longest device engine:
+    ``(cls_p, starts, lanes, ws, d)``.  ONE implementation shared by the
+    matcher device path and ``bench.wwl_kernel_rate`` so the bench always
+    times exactly the production configuration (padding, bucketing,
+    lane-0 rule)."""
+    from ahocorasick_tpu.ops import scan_pfac
+
+    d = _bucket_depth(compiled.max_depth)
+    cls_p = scan_pfac.pad_classes(cls, d + 1, bucket=_LANE_BUCKET)
+    is_word = np.asarray(compiled.class_is_word)[cls]
+    ws = word_starts(is_word)
+    lanes = ws if (len(ws) and ws[0] == 0) else np.concatenate(
+        [np.zeros(1, dtype=np.int64), ws])
+    Wp = _bucket_up(max(len(lanes), 1), minimum=256)
+    starts = np.full(Wp, len(cls), dtype=np.int32)
+    starts[: len(lanes)] = lanes
+    return cls_p, starts, lanes, ws, d
+
+
 class _PfacEngine(_Matcher):
     """All-candidates parallel scan; AC emits directly, Longest resolves.
 
@@ -982,27 +1002,19 @@ class WholeWordLongestMatchSet(_Matcher):
         from ahocorasick_tpu.ops import scan_pfac
 
         m = self.compiled
-        d = _bucket_depth(m.max_depth)
-        cls_p = scan_pfac.pad_classes(cls, d + 1, bucket=_LANE_BUCKET)
-        is_word = np.asarray(m.class_is_word)[cls]
-        ws = word_starts(is_word)
+        cls_p, starts, lanes, ws, d = _wwl_compact_lanes(m, cls)
         tables = (
             self.dev.trie_next, self.dev.own_len, self.dev.own_val,
             self.dev.fail_len, self.dev.fail_off, self.dev.fail_val,
             self.dev.class_is_word,
         )
         n = len(cls)
-        lanes = ws if (len(ws) and ws[0] == 0) else np.concatenate(
-            [np.zeros(1, dtype=np.int64), ws])
         if n and len(lanes) <= self._WWL_COMPACT_DENSITY * n:
             # The restart chain only consumes walks at position 0 and word
             # starts (resolve/wholeword.follow_chain), so walk just those
             # lanes; padded slots point at the PAD region (die immediately,
             # no match).  Scatter outcomes back to position-indexed arrays
             # for the (native) chain follower.
-            Wp = _bucket_up(len(lanes), minimum=256)
-            starts = np.full(Wp, n, dtype=np.int32)
-            starts[: len(lanes)] = lanes
             die_c, has_c, ms_c, me_c, mv_c = scan_wwl.wwl_walks_at(
                 *tables, jnp.asarray(cls_p), jnp.asarray(starts), d)
             W = len(lanes)

@@ -159,14 +159,18 @@ def main() -> None:
     per_rep_est = max(t_lo / lo, 1e-4)
     remaining = budget_s - (time.perf_counter() - t_start) - 15.0
     hi = lo + int(max(4, min(32, remaining / (3.5 * per_rep_est))))
-    dts = []
+    t_his, t_los = [], []
     for _ in range(3):
-        t_hi = timed(hi)
-        t_lo = timed(lo)
-        dts.append((t_hi - t_lo) / (hi - lo))
-        if time.perf_counter() - t_start > budget_s - 2.5 * (t_hi + t_lo):
+        t_his.append(timed(hi))
+        t_los.append(timed(lo))
+        if time.perf_counter() - t_start > budget_s - 2.5 * (t_his[-1] + t_los[-1]):
             break
-    dt = min(dts)
+    # Pair the BEST hi with the BEST lo (standard differencing): min over
+    # per-round differences pairs a lucky hi with an unlucky lo and can
+    # even go non-positive under tunnel-RPC jitter.
+    dt = (min(t_his) - min(t_los)) / (hi - lo)
+    if dt <= 0:  # jitter swamped the extra reps; fall back to raw rate
+        dt = min(t_his) / hi
 
     gbps = (text_units * 2) / dt / 1e9
     print(json.dumps({

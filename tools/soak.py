@@ -54,7 +54,8 @@ def roll_dict(rng: np.random.Generator):
 
 
 def roll_text(rng, alpha):
-    n = int(rng.integers(0, 6000))
+    # Occasionally large enough to cross the auto-device thresholds.
+    n = int(rng.integers(0, 40000 if rng.random() < 0.15 else 6000))
     return "".join(rng.choice(alpha + [" "], size=n))
 
 
@@ -95,6 +96,12 @@ def run_trial(rng, trial: int, use_mesh: bool) -> None:
     dev = set_cls(kws, cs, engine="device")
     got = dev.match(text)
     assert got == want, ("device", repro, got[:5], want[:5])
+
+    # Auto engine (exercises the engine-aware thresholds both sides);
+    # reuse the compiled tables — no third host compile per trial.
+    auto = set_cls.from_compiled(gold_m.compiled, engine="auto")
+    got_a = auto.match(text)
+    assert got_a == want, ("auto", repro, got_a[:5], want[:5])
 
     assert dev.count(text) == len(want), ("count", repro)
 
