@@ -351,7 +351,13 @@ class _ShortestCursor:
         # SEQ-mode state (active while _cand is None).
         self.state = 0
         self._seq = None
-        self._seq_only = False  # legacy resume: tail history unknown
+        # Units still needed before the tail fully determines the state
+        # (nonzero only after a legacy {state, off} resume; counts down as
+        # units are consumed — the tail itself accumulates regardless).
+        self._tail_missing = 0
+        # Pre-round-3 dicts carry no restart cursor p; without it the
+        # CAND-mode overlap guard is unsound, so such resumes stay SEQ.
+        self._p_known = True
         # CAND-mode machinery (built on upgrade).
         self._cand: Optional[_CandidateSource] = None
         self._cls_map = None
@@ -374,7 +380,8 @@ class _ShortestCursor:
         return eff
 
     def _maybe_upgrade(self, n: int) -> None:
-        if self._cand is not None or self._seq_only or self._ac is None:
+        if (self._cand is not None or self._tail_missing > 0
+                or not self._p_known or self._ac is None):
             return
         if self.engine == "gold":
             return
@@ -382,7 +389,7 @@ class _ShortestCursor:
             return
         ac = self._ac() if callable(self._ac) else self._ac
         if ac is None:
-            self._seq_only = True
+            self._ac = None  # no AC source; stay SEQ but keep the tail
             return
         ac_m, ac_dev, cls_map = ac
         self._cand = _CandidateSource(ac_m, ac_dev, self.engine)
@@ -405,8 +412,8 @@ class _ShortestCursor:
             self.off += len(cls)
             if len(ends):
                 self.p = int(ends[-1])
-            if not self._seq_only:
-                self.tail = np.concatenate([self.tail, cls])[-self._halo:]
+            self.tail = np.concatenate([self.tail, cls])[-self._halo:]
+            self._tail_missing = max(self._tail_missing - len(cls), 0)
             return list(zip(starts.tolist(), ends.tolist(), vals.tolist()))
 
         if self._cls_map is not None:
@@ -438,7 +445,7 @@ class _ShortestCursor:
         if self._cand is None:
             d = {"state": int(self.state), "off": int(self.off),
                  "p": int(self.p)}
-            if not self._seq_only:
+            if self._tail_missing <= 0:
                 d["tail"] = self.tail.tolist()
             return d
         d = {"tail": self.tail.tolist(), "off": int(self.off),
@@ -455,13 +462,14 @@ class _ShortestCursor:
             self._cand = None
             if "tail" in d:
                 self.tail = np.asarray(d["tail"], dtype=np.int32)
-            else:  # pre-round-3 resume point: history unknown, stay SEQ
+                self._tail_missing = 0
+            else:  # pre-round-3 resume point: tail unknown until it refills
                 self.tail = np.zeros(0, dtype=np.int32)
-                self._seq_only = True
+                self._tail_missing = self._halo
             return
         # CAND-format dict: tail + p are mode-independent state.
         self.tail = np.asarray(d["tail"], dtype=np.int32)
-        self._seq_only = False
+        self._tail_missing = 0
         ac = self._ac() if callable(self._ac) else self._ac
         if ac is not None:
             ac_m, ac_dev, cls_map = ac
@@ -642,7 +650,6 @@ class _WwlCursor:
     def feed(self, cls: np.ndarray, is_final: bool) -> List[Match]:
         import jax.numpy as jnp
 
-        from ahocorasick_tpu.models.matchers import _bucket_depth, _bucket_up
         from ahocorasick_tpu.ops import scan_wwl
 
         m = self.m
@@ -652,34 +659,19 @@ class _WwlCursor:
         out: List[Match] = []
         if n_buf == 0:
             return out
-        is_word = np.asarray(m.class_is_word)[buf]
-        prev = np.concatenate([[True], is_word[:-1]])
-        if off0 == 0:
-            # The reference's initial walk starts at position 0 whatever
-            # its wordness (same rule as _WwCursor/_WordCursor).
-            prev[0] = True
-            lanes = np.nonzero(is_word & ~prev)[0]
-            if len(lanes) == 0 or lanes[0] != 0:
-                lanes = np.concatenate([np.zeros(1, dtype=np.int64), lanes])
-        else:
-            lanes = np.nonzero(is_word & ~prev)[0]
+        # The ONE production lane setup (ops.scan_wwl.compact_lanes); the
+        # reference's INITIAL walk starts at position 0 whatever its
+        # wordness, so include lane 0 only at true stream start.
+        buf_p, starts, lanes, _ws, d = scan_wwl.compact_lanes(
+            m, buf, include_zero=off0 == 0)
         if len(lanes) == 0:
             self._advance(buf, len(cls))
             return out
-
-        d = _bucket_depth(m.max_depth)
-        # Bucket the padded length so varying feed sizes reuse executables.
-        L = _bucket_up(n_buf + d + 1, minimum=1024)
-        buf_p = np.zeros(L, dtype=np.int32)
-        buf_p[:n_buf] = buf
-        Wp = _bucket_up(len(lanes), minimum=256)
-        starts = np.full(Wp, n_buf, dtype=np.int32)
-        starts[: len(lanes)] = lanes
         die, has, ms, me, mv = scan_wwl.wwl_walks_at(
             self.dev.trie_next, self.dev.own_len, self.dev.own_val,
             self.dev.fail_len, self.dev.fail_off, self.dev.fail_val,
-            self.dev.class_is_word, jnp.asarray(buf_p), jnp.asarray(starts),
-            d,
+            self.dev.class_is_word, jnp.asarray(buf_p.astype(np.int32)),
+            jnp.asarray(starts), d,
         )
         W = len(lanes)
         die = np.asarray(die)[:W]
@@ -869,9 +861,14 @@ class _WordCursor:
 
     def load_state_dict(self, d: dict) -> None:
         self.tail = np.asarray(d["tail"], dtype=np.int32)
-        self.tail_off = int(d["tail_off"])
         self.off = int(d["off"])
-        self.resume = int(d["resume"])
+        # Device-cursor formats (_WwCursor: {tail, off, pending};
+        # _WwlCursor: {tail, off, resume}) carry no tail_off — derive it —
+        # and pending-at-edge matches need no conversion: those walks are
+        # still undecided in tail-replay terms (their die unit has not
+        # arrived), so the replay from the tail re-finds them exactly.
+        self.tail_off = int(d.get("tail_off", self.off - len(self.tail)))
+        self.resume = int(d.get("resume", 0))
 
 
 def make_cursor(m: CompiledMatcher, dev=None, engine: str = "auto", ac=None):
@@ -917,7 +914,14 @@ class StreamScanner:
     def __init__(self, m: CompiledMatcher, chunk_units: Optional[int] = None,
                  *, dev=None, engine: str = "auto", ac=None):
         self.m = m
-        self.chunk_units = chunk_units or default_chunk_units(max(m.max_depth, 1))
+        default = default_chunk_units(max(m.max_depth, 1))
+        if chunk_units is None and dev is not None and engine != "gold":
+            # The reference's 4096-unit buffer rule predates the device
+            # engines: feeds below _STREAM_DEVICE_MIN never engage them, so
+            # device-capable scanners default to device-sized reads (the
+            # caller can still pass any chunk_units explicitly).
+            default = max(default, _STREAM_DEVICE_MIN)
+        self.chunk_units = chunk_units or default
         self.cursor = make_cursor(m, dev, engine, ac)
 
     def _classes(self, text: str) -> np.ndarray:

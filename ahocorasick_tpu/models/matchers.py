@@ -585,23 +585,12 @@ _BATCH_CHUNK = 512
 
 
 def _wwl_compact_lanes(compiled: CompiledMatcher, cls: np.ndarray):
-    """Compact walk-lane inputs for the whole-word-longest device engine:
-    ``(cls_p, starts, lanes, ws, d)``.  ONE implementation shared by the
-    matcher device path and ``bench.wwl_kernel_rate`` so the bench always
-    times exactly the production configuration (padding, bucketing,
-    lane-0 rule)."""
-    from ahocorasick_tpu.ops import scan_pfac
+    """Back-compat alias: the one implementation lives in
+    ``ops.scan_wwl.compact_lanes`` (shared with the bench harness and the
+    streaming cursor)."""
+    from ahocorasick_tpu.ops import scan_wwl
 
-    d = _bucket_depth(compiled.max_depth)
-    cls_p = scan_pfac.pad_classes(cls, d + 1, bucket=_LANE_BUCKET)
-    is_word = np.asarray(compiled.class_is_word)[cls]
-    ws = word_starts(is_word)
-    lanes = ws if (len(ws) and ws[0] == 0) else np.concatenate(
-        [np.zeros(1, dtype=np.int64), ws])
-    Wp = _bucket_up(max(len(lanes), 1), minimum=256)
-    starts = np.full(Wp, len(cls), dtype=np.int32)
-    starts[: len(lanes)] = lanes
-    return cls_p, starts, lanes, ws, d
+    return scan_wwl.compact_lanes(compiled, cls, include_zero=True)
 
 
 class _PfacEngine(_Matcher):

@@ -22,9 +22,46 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+LANE_BUCKET = 1 << 12  # lane-count rounding (matchers._LANE_BUCKET)
+
+
+def bucket_depth(d: int) -> int:
+    """Walk depth padded to x4 (fewer distinct executables; extra steps
+    only walk dead lanes).  Single source for matcher/bench/stream."""
+    return max(-(-d // 4) * 4, 4)
+
+
+def compact_lanes(compiled, cls: np.ndarray, include_zero: bool = True):
+    """Compact walk-lane inputs for the whole-word-longest engine:
+    ``(cls_p, starts, lanes, ws, d)`` — the ONE production configuration
+    (padding, bucketing, lane rule) shared by the matcher device path,
+    ``bench.wwl_kernel_rate``, and the streaming cursor.
+
+    ``include_zero``: prepend position 0 as a walk lane (the reference's
+    initial walk starts at 0 whatever its wordness; streaming cursors pass
+    ``off0 == 0`` so mid-stream feeds do not)."""
+    from ahocorasick_tpu.ops import scan_pfac
+    from ahocorasick_tpu.resolve.wholeword import word_starts
+
+    d = bucket_depth(compiled.max_depth)
+    cls_p = scan_pfac.pad_classes(cls, d + 1, bucket=LANE_BUCKET)
+    is_word = np.asarray(compiled.class_is_word)[cls]
+    ws = word_starts(is_word)
+    lanes = ws
+    if include_zero and (len(ws) == 0 or ws[0] != 0):
+        lanes = np.concatenate([np.zeros(1, dtype=np.int64), ws])
+    Wp = 256
+    while Wp < max(len(lanes), 1):
+        Wp *= 2
+    starts = np.full(Wp, len(cls), dtype=np.int32)
+    starts[: len(lanes)] = lanes
+    return cls_p, starts, lanes, ws, d
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth",))

@@ -419,3 +419,40 @@ def test_device_stream_wwl_resume():
     s2.load_state_dict(d)
     got += s2.feed(text[cut:], is_final=True)
     assert got == expected
+
+
+def test_cross_cursor_resume_formats():
+    """Whole-word resume points cross-load between the device cursors and
+    the host tail-replay cursor (both directions), including a pending
+    boundary match."""
+    import json
+
+    from ahocorasick_tpu.core.stream import StreamScanner
+
+    for cls in (WholeWordMatchSet, WholeWordLongestMatchSet):
+        kws = KEYWORDS[cls]
+        m = cls(kws, engine="device")  # device cursors
+        text = TEXT
+        cut = 37
+        expected = [(s_, e_) for s_, e_ in m.match_stream(
+            io.StringIO(text), chunk_units=53)]
+
+        def pairs(trips):
+            return [(a, b) for a, b, _ in trips]
+
+        s1 = StreamScanner(m.compiled, dev=m.dev, engine="device")
+        got = pairs(s1.feed(text[:cut], is_final=False))
+        d = json.loads(json.dumps(s1.state_dict()))
+        # Load into the HOST cursor (dev=None -> _WordCursor).
+        host = StreamScanner(m.compiled)
+        host.load_state_dict(d)
+        got_host = got + pairs(host.feed(text[cut:], is_final=True))
+        assert got_host == expected, (cls.__name__, "device->host")
+        # And host dict into the device cursor.
+        h1 = StreamScanner(m.compiled)
+        got2 = pairs(h1.feed(text[:cut], is_final=False))
+        d2 = json.loads(json.dumps(h1.state_dict()))
+        s2 = StreamScanner(m.compiled, dev=m.dev, engine="device")
+        s2.load_state_dict(d2)
+        got2 += pairs(s2.feed(text[cut:], is_final=True))
+        assert got2 == expected, (cls.__name__, "host->device")
