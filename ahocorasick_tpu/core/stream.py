@@ -52,7 +52,12 @@ _SCAN_BUCKET = 4096
 
 
 def default_chunk_units(max_depth: int) -> int:
-    """The reference's buffer-size rule (``AhoCorasickMap.java:53``)."""
+    """The reference's buffer-size rule (``AhoCorasickMap.java:53``).
+
+    Device-capable ``StreamScanner``s raise this default to the device
+    threshold (output is chunking-invariant, so the rule's observable
+    surface — exactness at any buffer size — is preserved; 4096-unit
+    reads would keep every feed on the sequential path)."""
     return 2 * max_depth if max_depth > 2048 else 4096
 
 
