@@ -668,7 +668,7 @@ class _WwlCursor:
         # reference's INITIAL walk starts at position 0 whatever its
         # wordness, so include lane 0 only at true stream start.
         buf_p, starts, lanes, _ws, d = scan_wwl.compact_lanes(
-            m, buf, include_zero=off0 == 0)
+            m, buf, text_start=off0 == 0)
         if len(lanes) == 0:
             self._advance(buf, len(cls))
             return out

@@ -590,7 +590,7 @@ def _wwl_compact_lanes(compiled: CompiledMatcher, cls: np.ndarray):
     streaming cursor)."""
     from ahocorasick_tpu.ops import scan_wwl
 
-    return scan_wwl.compact_lanes(compiled, cls, include_zero=True)
+    return scan_wwl.compact_lanes(compiled, cls, text_start=True)
 
 
 class _PfacEngine(_Matcher):

@@ -37,24 +37,31 @@ def bucket_depth(d: int) -> int:
     return max(-(-d // 4) * 4, 4)
 
 
-def compact_lanes(compiled, cls: np.ndarray, include_zero: bool = True):
+def compact_lanes(compiled, cls: np.ndarray, text_start: bool = True):
     """Compact walk-lane inputs for the whole-word-longest engine:
     ``(cls_p, starts, lanes, ws, d)`` — the ONE production configuration
     (padding, bucketing, lane rule) shared by the matcher device path,
     ``bench.wwl_kernel_rate``, and the streaming cursor.
 
-    ``include_zero``: prepend position 0 as a walk lane (the reference's
-    initial walk starts at 0 whatever its wordness; streaming cursors pass
-    ``off0 == 0`` so mid-stream feeds do not)."""
+    ``text_start``: ``cls[0]`` is the TRUE beginning of the text.  Then
+    index 0 is always a lane (the reference's initial walk starts at 0
+    whatever its wordness), and a word char at 0 is a genuine word start.
+    Streaming cursors pass False for mid-stream buffers: local index 0's
+    predecessor lives outside the buffer, so it must NOT be treated as a
+    word start (every live walk starts at/after local 1 — the carried
+    tail is one unit longer than any walk span)."""
     from ahocorasick_tpu.ops import scan_pfac
-    from ahocorasick_tpu.resolve.wholeword import word_starts
 
     d = bucket_depth(compiled.max_depth)
     cls_p = scan_pfac.pad_classes(cls, d + 1, bucket=LANE_BUCKET)
     is_word = np.asarray(compiled.class_is_word)[cls]
-    ws = word_starts(is_word)
+    if len(is_word):
+        prev = np.concatenate([[not text_start], is_word[:-1]])
+        ws = np.nonzero(is_word & ~prev)[0].astype(np.int64)
+    else:
+        ws = np.zeros(0, dtype=np.int64)
     lanes = ws
-    if include_zero and (len(ws) == 0 or ws[0] != 0):
+    if text_start and (len(ws) == 0 or ws[0] != 0) and len(cls):
         lanes = np.concatenate([np.zeros(1, dtype=np.int64), ws])
     Wp = 256
     while Wp < max(len(lanes), 1):

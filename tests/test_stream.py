@@ -456,3 +456,16 @@ def test_cross_cursor_resume_formats():
         s2.load_state_dict(d2)
         got2 += pairs(s2.feed(text[cut:], is_final=True))
         assert got2 == expected, (cls.__name__, "host->device")
+
+
+def test_wwl_stream_midbuffer_index_zero_not_word_start():
+    """Soak-found: a mid-stream buffer whose first tail unit is a word char
+    must NOT treat local index 0 as a word start (its predecessor lives
+    outside the buffer) — the device cursor previously walked it and
+    emitted a phantom mid-word match."""
+    m = WholeWordLongestMatchSet(["中"], engine="device")
+    g = WholeWordLongestMatchSet(["中"], engine="gold")
+    text = " a 中  中中中 中中 "
+    want = g.match(text)
+    for chunk in (1, 2, 3, 5):
+        assert m.match_stream(io.StringIO(text), chunk_units=chunk) == want
