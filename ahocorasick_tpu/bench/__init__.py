@@ -66,40 +66,68 @@ def ac_kernel_rate(m, cls: np.ndarray, reps: int = 8, chunk: int = 512):
 def wwl_kernel_rate(m, cls: np.ndarray, reps: int = 8):
     """Device walk rate (GB/s of text) for the whole-word-longest engine.
 
-    Times the compacted word-start walks (``scan_wwl.wwl_walks_at`` — the
-    production single-chip path) with the ac_kernel_rate methodology:
-    data uploaded once, reps inside one jit with rolled starts (CSE-proof).
+    Times the production single-chip path — the scan-based engine
+    (``scan_wwl.wwl_scan_walks``, one DFA gather per character) when
+    applicable, else the compacted word-start walks — with the
+    ac_kernel_rate methodology: data uploaded once, reps inside one jit
+    with rolled inputs (CSE-proof).
     """
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from ahocorasick_tpu.models.matchers import _wwl_compact_lanes
-    from ahocorasick_tpu.ops import scan_wwl
+    from ahocorasick_tpu.ops import scan_batched, scan_wwl
 
-    reps = max(reps, -(-(16 << 20) // max(len(cls), 1)))
     # The ONE production lane setup (padding, bucketing, lane-0 rule) —
     # shared with WholeWordLongestMatchSet._device_triples.
     cls_p, starts, lanes, ws, d = _wwl_compact_lanes(m.compiled, cls)
-    tables = (m.dev.trie_next, m.dev.own_len, m.dev.own_val, m.dev.fail_len,
-              m.dev.fail_off, m.dev.fail_val, m.dev.class_is_word)
-    cdev = jax.device_put(jnp.asarray(cls_p))
-    sdev = jax.device_put(jnp.asarray(starts))
 
-    @jax.jit
-    def reps_walks(cp, st):
-        def one(i, tot):
-            _, has, _, _, _ = scan_wwl.wwl_walks_at(
-                *tables, cp, jnp.roll(st, i), d)
-            return tot + jnp.sum(has.astype(jnp.int32))
+    if scan_wwl.scan_applicable(m.compiled):
+        reps = max(reps, -(-(64 << 20) // max(len(cls), 1)))
+        sc = m.dev.wwl_scan
+        windows = scan_batched.chunk_classes(cls_p, 512, d)
+        wdev = jax.device_put(jnp.asarray(windows))
+        sdev = jax.device_put(jnp.asarray(starts))
 
-        return lax.fori_loop(0, reps, one, jnp.int32(0))
+        @jax.jit
+        def reps_scan(w, st):
+            def one(i, tot):
+                _, has, _, _, _ = scan_wwl.wwl_scan_walks(
+                    sc.table, sc.rows_flat, sc.outrows,
+                    jnp.roll(w, i, axis=0), st,
+                    halo=d, id_bits=sc.id_bits, depth_bits=sc.depth_bits,
+                    num_classes=sc.num_classes, d=d,
+                    row_layout=sc.row_layout, quotient=sc.quotient)
+                return tot + jnp.sum(has.astype(jnp.int32))
 
-    float(reps_walks(cdev, sdev))  # compile
+            return lax.fori_loop(0, reps, one, jnp.int32(0))
+
+        reps_fn, args = reps_scan, (wdev, sdev)
+    else:
+        reps = max(reps, -(-(16 << 20) // max(len(cls), 1)))
+        tables = (m.dev.trie_next, m.dev.own_len, m.dev.own_val,
+                  m.dev.fail_len, m.dev.fail_off, m.dev.fail_val,
+                  m.dev.class_is_word)
+        cdev = jax.device_put(jnp.asarray(cls_p))
+        sdev = jax.device_put(jnp.asarray(starts))
+
+        @jax.jit
+        def reps_walks(cp, st):
+            def one(i, tot):
+                _, has, _, _, _ = scan_wwl.wwl_walks_at(
+                    *tables, cp, jnp.roll(st, i), d)
+                return tot + jnp.sum(has.astype(jnp.int32))
+
+            return lax.fori_loop(0, reps, one, jnp.int32(0))
+
+        reps_fn, args = reps_walks, (cdev, sdev)
+
+    float(reps_fn(*args))  # compile
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(reps_walks(cdev, sdev))
+        float(reps_fn(*args))
         best = min(best, time.perf_counter() - t0)
     dt = best / reps
     return (len(cls) * 2) / dt / 1e9

@@ -532,13 +532,17 @@ def _finalize(
 
     pruned = np.zeros(S + 1, dtype=bool)
 
-    if kind in (AC, LONGEST, SHORTEST, WHOLE_WORD):
+    if kind in (AC, LONGEST, SHORTEST, WHOLE_WORD, WHOLE_WORD_LONGEST):
         # WHOLE_WORD also gets fail links / closure / emit tables: its device
         # engine scans the dictionary as a plain AC automaton and filters
         # candidates by word boundaries, which is exactly equivalent for
         # pure-word-char keywords (matches are maximal word runs).  The gold
         # engine still walks the failureless trie (the reference semantics,
         # WholeWordMatchSet.java:47-132).
+        # WHOLE_WORD_LONGEST gets the closure (but no emit tables) for the
+        # scan-based walk engine (ops/scan_wwl.wwl_scan_walks): when the trie
+        # is pure-word-char, the arrival-state DEPTH of the goto-closure DFA
+        # decides every walk's die position in one batched scan.
         fail = np.zeros(S, dtype=np.int32)
 
         # Hash-consed goto-closure rows: a node's row is its fail state's row

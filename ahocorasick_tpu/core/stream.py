@@ -462,6 +462,10 @@ class _ShortestCursor:
     def load_state_dict(self, d: dict) -> None:
         self.off = int(d["off"])
         self.p = int(d.get("p", 0))
+        # Pre-round-3 dicts carry no restart cursor p; the CAND-mode overlap
+        # guard is unsound without it, so pin such resumes to SEQ mode
+        # (enforces the _p_known invariant _maybe_upgrade relies on).
+        self._p_known = "p" in d
         if "state" in d:
             self.state = int(d["state"])
             self._cand = None
@@ -672,12 +676,29 @@ class _WwlCursor:
         if len(lanes) == 0:
             self._advance(buf, len(cls))
             return out
-        die, has, ms, me, mv = scan_wwl.wwl_walks_at(
-            self.dev.trie_next, self.dev.own_len, self.dev.own_val,
-            self.dev.fail_len, self.dev.fail_off, self.dev.fail_val,
-            self.dev.class_is_word, jnp.asarray(buf_p.astype(np.int32)),
-            jnp.asarray(starts), d,
-        )
+        if scan_wwl.scan_applicable(m):
+            # Scan-based engine (one DFA gather/char): exact mid-stream too —
+            # every queried walk start is an in-buffer word start whose
+            # word run begins in-buffer, so the root-started scan's depth
+            # plane equals the sequential one at all gathered positions.
+            from ahocorasick_tpu.ops import scan_batched
+
+            sc = self.dev.wwl_scan
+            windows = scan_batched.chunk_classes(buf_p, 512, d)
+            die, has, ms, me, mv = scan_wwl.wwl_scan_walks(
+                sc.table, sc.rows_flat, sc.outrows,
+                jnp.asarray(windows), jnp.asarray(starts),
+                halo=d, id_bits=sc.id_bits, depth_bits=sc.depth_bits,
+                num_classes=sc.num_classes, d=d, row_layout=sc.row_layout,
+                quotient=sc.quotient,
+            )
+        else:
+            die, has, ms, me, mv = scan_wwl.wwl_walks_at(
+                self.dev.trie_next, self.dev.own_len, self.dev.own_val,
+                self.dev.fail_len, self.dev.fail_off, self.dev.fail_val,
+                self.dev.class_is_word, jnp.asarray(buf_p.astype(np.int32)),
+                jnp.asarray(starts), d,
+            )
         W = len(lanes)
         die = np.asarray(die)[:W]
         has = np.asarray(has)[:W]

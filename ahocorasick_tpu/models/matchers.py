@@ -53,8 +53,9 @@ def _device_capable(compiled: CompiledMatcher, kind: str) -> bool:
     Dense matchers: always (packed or split layout).  Row-compressed
     (wide-alphabet) matchers: only the kinds whose device path is the packed
     batched/row/block scan over the quotient DFA (``ops/scan_batched``);
-    WHOLE_WORD_LONGEST's trie walks need dense per-state tables, so it stays
-    on the (vectorized) host path.  SHORTEST scans as an AC automaton over
+    WHOLE_WORD_LONGEST rides the scan-based walk engine over the quotient
+    DFA when the trie is pure-word-char (``ops/scan_wwl.scan_applicable``),
+    else the (vectorized) host path.  SHORTEST scans as an AC automaton over
     the insert-surviving keywords plus a host resolve
     (``ShortestMatchSet._ac``) — its capability is the internal AC
     automaton's, which this predicate cannot see; ``_pick_engine`` and the
@@ -67,6 +68,13 @@ def _device_capable(compiled: CompiledMatcher, kind: str) -> bool:
 
     if kind == SHORTEST:
         return True  # delegated: internal AC matcher or host cursor
+    if kind == WHOLE_WORD_LONGEST:
+        # Row-compressed WWL rides the scan-based walk engine (quotient DFA
+        # + depth plane) when the trie is pure-word-char; separator-spanning
+        # row-compressed dictionaries keep the host walk.
+        from ahocorasick_tpu.ops import scan_wwl
+
+        return scan_wwl.scan_applicable(compiled)
     return kind in (AC, LONGEST, WHOLE_WORD) and scan_batched.quotient_packable(
         compiled
     )
@@ -232,6 +240,25 @@ class _DeviceTables:
             rd = scan_rowdfa.build_rowdfa1(self._m)
             cache["row_dfa1"] = rd._replace(table=jnp.asarray(rd.table))
         return cache["row_dfa1"]
+
+    @property
+    def wwl_scan(self):
+        """Packed scan tables for the scan-based whole-word-longest engine
+        (lazy; ``ops/scan_wwl.build_wwl_scan``)."""
+        cache = self.__dict__["_cache"]
+        if "wwl_scan" not in cache:
+            import jax.numpy as jnp
+
+            from ahocorasick_tpu.ops import scan_wwl
+
+            sc = scan_wwl.build_wwl_scan(self._m)
+            cache["wwl_scan"] = sc._replace(
+                table=jnp.asarray(sc.table),
+                rows_flat=None if sc.rows_flat is None
+                else jnp.asarray(sc.rows_flat),
+                outrows=jnp.asarray(sc.outrows),
+            )
+        return cache["wwl_scan"]
 
     @property
     def split_dfa(self):
@@ -986,18 +1013,31 @@ class WholeWordLongestMatchSet(_Matcher):
     def _device_triples(self, cls):
         import jax.numpy as jnp
 
-        from ahocorasick_tpu.ops import scan_wwl
-
-        from ahocorasick_tpu.ops import scan_pfac
+        from ahocorasick_tpu.ops import scan_batched, scan_wwl
 
         m = self.compiled
         cls_p, starts, lanes, ws, d = _wwl_compact_lanes(m, cls)
+        n = len(cls)
+        if scan_wwl.scan_applicable(m):
+            # Scan-based engine: ONE batched DFA gather per character decides
+            # every walk (die position from the arrival-state depth plane) —
+            # the fast path for pure-word-char dictionaries, including
+            # row-compressed (quotient) ones.
+            sc = self.dev.wwl_scan
+            windows = scan_batched.chunk_classes(cls_p, 512, d)
+            die_c, has_c, ms_c, me_c, mv_c = scan_wwl.wwl_scan_walks(
+                sc.table, sc.rows_flat, sc.outrows,
+                jnp.asarray(windows), jnp.asarray(starts),
+                halo=d, id_bits=sc.id_bits, depth_bits=sc.depth_bits,
+                num_classes=sc.num_classes, d=d, row_layout=sc.row_layout,
+                quotient=sc.quotient)
+            return self._chain_from_lanes(
+                die_c, has_c, ms_c, me_c, mv_c, lanes, ws, n)
         tables = (
             self.dev.trie_next, self.dev.own_len, self.dev.own_val,
             self.dev.fail_len, self.dev.fail_off, self.dev.fail_val,
             self.dev.class_is_word,
         )
-        n = len(cls)
         if n and len(lanes) <= self._WWL_COMPACT_DENSITY * n:
             # The restart chain only consumes walks at position 0 and word
             # starts (resolve/wholeword.follow_chain), so walk just those
@@ -1006,23 +1046,34 @@ class WholeWordLongestMatchSet(_Matcher):
             # for the (native) chain follower.
             die_c, has_c, ms_c, me_c, mv_c = scan_wwl.wwl_walks_at(
                 *tables, jnp.asarray(cls_p), jnp.asarray(starts), d)
-            W = len(lanes)
-            die = np.zeros(n, dtype=np.int32)
-            has = np.zeros(n, dtype=bool)
-            ms = np.zeros(n, dtype=np.int32)
-            me = np.zeros(n, dtype=np.int32)
-            mv = np.zeros(n, dtype=np.int32)
-            die[lanes] = np.asarray(die_c)[:W]
-            has[lanes] = np.asarray(has_c)[:W]
-            ms[lanes] = np.asarray(ms_c)[:W]
-            me[lanes] = np.asarray(me_c)[:W]
-            mv[lanes] = np.asarray(mv_c)[:W]
-        else:
-            die, has, ms, me, mv = (np.asarray(a) for a in scan_wwl.wwl_walks(
-                *tables, jnp.asarray(cls_p), d))
+            return self._chain_from_lanes(
+                die_c, has_c, ms_c, me_c, mv_c, lanes, ws, n)
+        die, has, ms, me, mv = (np.asarray(a) for a in scan_wwl.wwl_walks(
+            *tables, jnp.asarray(cls_p), d))
+        return self._chain(die, has, ms, me, mv, ws, n)
+
+    @staticmethod
+    def _chain_from_lanes(die_c, has_c, ms_c, me_c, mv_c, lanes, ws, n):
+        """Scatter compact per-lane walk outcomes back to position-indexed
+        arrays for the (native) chain follower."""
+        W = len(lanes)
+        die = np.zeros(n, dtype=np.int32)
+        has = np.zeros(n, dtype=bool)
+        ms = np.zeros(n, dtype=np.int32)
+        me = np.zeros(n, dtype=np.int32)
+        mv = np.zeros(n, dtype=np.int32)
+        die[lanes] = np.asarray(die_c)[:W]
+        has[lanes] = np.asarray(has_c)[:W]
+        ms[lanes] = np.asarray(ms_c)[:W]
+        me[lanes] = np.asarray(me_c)[:W]
+        mv[lanes] = np.asarray(mv_c)[:W]
+        return WholeWordLongestMatchSet._chain(die, has, ms, me, mv, ws, n)
+
+    @staticmethod
+    def _chain(die, has, ms, me, mv, ws, n):
         trip = follow_chain(
             np.asarray(die), np.asarray(has), np.asarray(ms), np.asarray(me),
-            np.asarray(mv), ws, len(cls),
+            np.asarray(mv), ws, n,
         )
         if not trip:
             z = np.zeros(0, dtype=np.int64)

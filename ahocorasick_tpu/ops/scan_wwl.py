@@ -21,6 +21,7 @@ Walk outcome rules (mirroring the reference loop exactly):
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple, Optional
 
 import numpy as np
 
@@ -63,9 +64,17 @@ def compact_lanes(compiled, cls: np.ndarray, text_start: bool = True):
     lanes = ws
     if text_start and (len(ws) == 0 or ws[0] != 0) and len(cls):
         lanes = np.concatenate([np.zeros(1, dtype=np.int64), ws])
+    # Quarter-octave lane bucketing: pow2 rounding wastes up to ~50% of the
+    # compaction gathers on padded lanes; {1, 1.25, 1.5, 1.75} x 2^k keeps
+    # the distinct compiled shapes bounded (4 per octave) at <=20% waste.
     Wp = 256
     while Wp < max(len(lanes), 1):
         Wp *= 2
+    if Wp > 256:
+        for frac in (5, 6, 7):
+            if Wp // 8 * frac >= len(lanes):
+                Wp = Wp // 8 * frac
+                break
     starts = np.full(Wp, len(cls), dtype=np.int32)
     starts[: len(lanes)] = lanes
     return cls_p, starts, lanes, ws, d
@@ -173,3 +182,309 @@ def wwl_walks_at(
     die_pos = starts + k_die
     return _walk_outcomes(own_len, own_val, fail_len, fail_off, fail_val,
                           class_is_word, cls_padded, die_pos, s_last)
+
+
+# ---------------------------------------------------------------------------
+# Scan-based walk engine (v2): one DFA row-gather per character.
+#
+# The walk engines above pay ~2 element gathers per (start, depth-step).
+# When every keyword is word-uniform (all word chars, or — the Java trim
+# quirk — all separators; keywords MIXING the two like "New York" fall
+# back to the walk engines), every walk outcome is decided by ONE batched
+# goto-closure DFA scan over the text:
+#
+# * Die position.  Let ``depth[i]`` be the trie depth of the DFA arrival
+#   state after consuming char i (= length of the longest suffix of
+#   text[0..i] that is a trie prefix).  A walk starting at word start ``w``
+#   is alive after char ``w+k`` iff text[w..w+k] is a trie prefix.  Because
+#   every trie path is word-UNIFORM (a pure-word prefix contains no
+#   separator; an all-separator prefix contains no word char) no trie
+#   prefix can span the boundary (w-1: non-word, w: word char), so
+#   the longest trie-prefix suffix at ``w+k`` starts at or after ``w`` —
+#   alive  <=>  depth[w+k] == k+1,  dead  <=>  depth[w+k] <= k.
+#   The die step is therefore ``k_die(w) = min{k >= 0 : depth[w+k] <= k}``,
+#   computable for EVERY position at once from d+1 shifted slices of the
+#   depth plane — no per-start gathers.
+# * Last state.  While alive, the DFA arrival state IS the trie walk node
+#   (the longest trie-prefix suffix is text[w..i] itself), so
+#   ``s_last = state[w + k_die - 1]`` (root when k_die == 0) and the
+#   own/fail outcome tables apply unchanged (_walk_outcomes rules;
+#   WholeWordLongestMatchSet.java:65-94).
+#
+# The scan gathers pack (next_id, depth(next), is_word(class)) into one
+# uint32 entry, so the whole engine costs the AC engines' one row gather
+# per character plus O(word-starts) compaction gathers.
+# ---------------------------------------------------------------------------
+
+
+class WwlScan(NamedTuple):
+    """Device tables for the scan-based whole-word-longest engine."""
+
+    table: np.ndarray  # uint32 packed: id | depth << id_bits | word << (id_bits + depth_bits); [Sp, Ap] row layout or flat [S_eff * A]
+    rows_flat: Optional[np.ndarray]  # int32[R * A] concrete targets (quotient only)
+    outrows: np.ndarray  # int32[Sp2, 8]: own_len, own_val, fail_len, fail_off, fail_val
+    id_bits: int
+    depth_bits: int
+    halo: int
+    num_classes: int
+    row_layout: bool
+    quotient: bool
+
+
+def word_uniform_trie(m) -> bool:
+    """Every trie path (keyword) is uniformly word chars or uniformly
+    non-word chars.
+
+    ``WholeWordLongestMatchSet`` only trims keyword ends, so two impure
+    shapes exist: trimmed keywords with INTERIOR separators ("New York"),
+    and the Java ``WordCharacters.trim`` quirk that keeps ALL-separator
+    keywords unchanged (utils/chartables.trim_word docstring).  The depth
+    argument above only needs that no trie-prefix can span a word-run
+    boundary — all-separator keywords (no word char) satisfy that just like
+    pure-word ones, so only mixed paths disqualify.  Check: each state's
+    incoming-edge wordness (states have one parent) must match all its
+    outgoing edges; the root is neutral."""
+    from ahocorasick_tpu.core.compiler import RowTable
+
+    if m.class_is_word is None:
+        return False
+    word = np.asarray(m.class_is_word, dtype=bool)
+    if word.all() or not word.any():
+        return True
+    dead = m.num_states
+    t = m.trie_next
+    if isinstance(t, RowTable):
+        rows, row_id = t.rows, t.row_id
+    else:
+        rows, row_id = t, None
+    live = rows != dead
+    has_w_row = (live & word[None, :]).any(axis=1)
+    has_n_row = (live & ~word[None, :]).any(axis=1)
+    # States reached via a word / non-word edge (disjoint: one parent each).
+    col_w = np.zeros(m.num_states + 1, dtype=bool)
+    col_n = np.zeros(m.num_states + 1, dtype=bool)
+    tw = rows[:, word]
+    col_w[tw[tw != dead]] = True
+    tn = rows[:, ~word]
+    col_n[tn[tn != dead]] = True
+    if row_id is not None:
+        has_w = has_w_row[row_id]
+        has_n = has_n_row[row_id]
+    else:
+        has_w, has_n = has_w_row, has_n_row
+    has_w = has_w[: m.num_states + 1]
+    has_n = has_n[: m.num_states + 1]
+    return not bool(((col_w & has_n) | (col_n & has_w)).any())
+
+
+def scan_applicable(m) -> bool:
+    """The scan-based engine applies: goto-closure DFA present (round-4+
+    compiles; older artifacts fall back), pure-word-char trie, packable."""
+    from ahocorasick_tpu.core.compiler import RowTable, WHOLE_WORD_LONGEST
+
+    if m.kind != WHOLE_WORD_LONGEST or m.dfa_next is None:
+        return False
+    if m.class_is_word is None or bool(m.class_is_word[0]):
+        return False  # engines pad with class 0 = non-word (compiler invariant)
+    d = max(m.max_depth, 1)
+    depth_bits = max(d.bit_length(), 1)
+    if isinstance(m.dfa_next, RowTable):
+        R = m.dfa_next.rows.shape[0]
+        id_bits = max(int(R - 1).bit_length(), 1)
+    else:
+        id_bits = max(int(m.num_states - 1).bit_length(), 1)
+    if id_bits + depth_bits + 1 > 32:
+        return False
+    return word_uniform_trie(m)
+
+
+# Row-layout gate mirrors scan_rowdfa.fits1 (measured VMEM cliff).
+_ROW_MAX_BYTES = 16 << 20
+_ROW_MAX_CLASSES = 512
+
+
+def build_wwl_scan(m) -> WwlScan:
+    """Host-side packed tables for ``wwl_scan_walks``."""
+    from ahocorasick_tpu.core.compiler import RowTable
+
+    assert scan_applicable(m)
+    S = m.num_states
+    A = m.num_classes
+    d = max(m.max_depth, 1)
+    depth_bits = max(d.bit_length(), 1)
+    depth = np.asarray(m.depth[: S], dtype=np.uint32)
+    word = np.asarray(m.class_is_word, dtype=np.uint32)
+
+    if isinstance(m.dfa_next, RowTable):
+        rt = m.dfa_next
+        R = rt.rows.shape[0]
+        id_bits = max(int(R - 1).bit_length(), 1)
+        assert int(rt.row_id[0]) == 0  # compiler invariant: root row is 0
+        packed = rt.row_id[rt.rows].astype(np.uint32)
+        packed |= depth[rt.rows] << np.uint32(id_bits)
+        packed |= (word << np.uint32(id_bits + depth_bits))[None, :]
+        rows_flat = np.ascontiguousarray(rt.rows.reshape(-1).astype(np.int32))
+        quotient = True
+    else:
+        id_bits = max(int(S - 1).bit_length(), 1)
+        nxt = m.dfa_next
+        packed = nxt.astype(np.uint32)
+        packed |= depth[nxt] << np.uint32(id_bits)
+        packed |= (word << np.uint32(id_bits + depth_bits))[None, :]
+        rows_flat = None
+        quotient = False
+
+    Ap = max(8, 1 << (A - 1).bit_length())
+    Sr = packed.shape[0]
+    Sp = -(-Sr // 8) * 8
+    row_layout = Ap <= _ROW_MAX_CLASSES and Sp * Ap * 4 <= _ROW_MAX_BYTES
+    if row_layout:
+        t = np.zeros((Sp, Ap), dtype=np.uint32)
+        t[:Sr, :A] = packed
+        table = t
+    else:
+        table = np.ascontiguousarray(packed.reshape(-1))
+
+    Sp2 = 8
+    while Sp2 < S + 1:
+        Sp2 *= 2
+    outrows = np.zeros((Sp2, 8), dtype=np.int32)
+    outrows[: S + 1, 0] = m.own_len
+    outrows[: S + 1, 1] = m.own_val
+    outrows[: S + 1, 2] = m.fail_len
+    outrows[: S + 1, 3] = m.fail_off
+    outrows[: S + 1, 4] = m.fail_val
+    return WwlScan(table, rows_flat, outrows, id_bits, depth_bits, d, A,
+                   row_layout, quotient)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "halo", "id_bits", "depth_bits", "num_classes", "d", "row_layout",
+    "quotient"))
+def wwl_scan_walks(
+    table: jax.Array,
+    rows_flat: Optional[jax.Array],
+    outrows: jax.Array,
+    windows: jax.Array,  # int32[B, halo + C] (scan_batched.chunk_classes)
+    starts: jax.Array,  # int32[W] walk starts (padded slots -> pad region)
+    *,
+    halo: int,
+    id_bits: int,
+    depth_bits: int,
+    num_classes: int,
+    d: int,  # walk-step count - 1 (>= compiled max_depth)
+    row_layout: bool,
+    quotient: bool,
+):
+    """Walk outcomes for the given start positions via ONE batched DFA scan.
+
+    Same contract as ``wwl_walks_at``: returns ``(die_pos, has, m_start,
+    m_end, m_val)``, each ``int32[W]`` (``has`` bool).
+    """
+    from ahocorasick_tpu.ops.scan_rowdfa import _select_col
+
+    B = windows.shape[0]
+    C = windows.shape[1] - halo
+    A = num_classes
+    idmask = jnp.uint32((1 << id_bits) - 1)
+    dmask = jnp.uint32((1 << depth_bits) - 1)
+
+    if row_layout:
+        def gather(s, c):
+            return _select_col(table[s], c, A)
+    else:
+        tf = table.reshape(-1)
+
+        def gather(s, c):
+            return tf[s * jnp.uint32(A) + c.astype(jnp.uint32)]
+
+    def warm(s, c):
+        return gather(s, c) & idmask, None
+
+    s0 = (windows[:, 0] * 0).astype(jnp.uint32)
+    s_h, _ = lax.scan(warm, s0, windows[:, :halo].T)
+
+    if quotient:
+        def step(s, c):
+            v = gather(s, c)
+            f = s * jnp.uint32(A) + c.astype(jnp.uint32)
+            return v & idmask, (v, f)
+
+        _, (vs, fs) = lax.scan(step, s_h, windows[:, halo:].T)  # (C, B)
+        fflat = fs.T.reshape(-1).astype(jnp.int32)
+    else:
+        def step(s, c):
+            v = gather(s, c)
+            return v & idmask, v
+
+        _, vs = lax.scan(step, s_h, windows[:, halo:].T)
+        fflat = None
+    vflat = vs.T.reshape(-1)  # (B*C,) flat text order
+    N = B * C
+    L = N - (d + 1)
+    depth_p = ((vflat >> jnp.uint32(id_bits)) & dmask).astype(jnp.int32)
+    word_p = (vflat >> jnp.uint32(id_bits + depth_bits)) & jnp.uint32(1)
+
+    # k_die / die-char wordness / pre-die state for EVERY position, from
+    # shifted slices of the scan planes — all elementwise, zero gathers.
+    # Statically unrolled (d is small) so XLA sees pure static slices and
+    # fuses the whole sweep; a fori_loop + dynamic_slice variant measured
+    # ~25% slower end-to-end on v5e.
+    z = jnp.zeros((L,), dtype=jnp.int32)
+    k_die, dw, prev = z - 1, z.astype(jnp.uint32), z
+    for k in range(d + 1):
+        dk = lax.slice(depth_p, (k,), (k + L,))
+        wk = lax.slice(word_p, (k,), (k + L,))
+        kp = max(k - 1, 0)
+        if quotient:
+            pk = lax.slice(fflat, (kp,), (kp + L,))
+        else:
+            pk = (lax.slice(vflat, (kp,), (kp + L,)) & idmask).astype(jnp.int32)
+        newly = (k_die < 0) & (dk <= k)
+        k_die = jnp.where(newly, k, k_die)
+        dw = jnp.where(newly, wk, dw)
+        prev = jnp.where(newly, pk, prev)
+
+    # Compact to the requested starts.  Pack (k_die, die_word[, prev]) into
+    # one plane when the bits fit so padded-lane gathers stay cheap, and
+    # fetch it with 8-wide ROW gathers + a fused one-hot column select:
+    # element gathers run ~140 M/s on v5e while VMEM-resident row gathers
+    # run ~385 M rows/s (probe3/probe7) — a ~2.5x cut on the compaction.
+    def plane_take(plane, idx):
+        Lp = -(-plane.shape[0] // 8) * 8
+        p8 = jnp.concatenate(
+            [plane, jnp.zeros((Lp - plane.shape[0],), plane.dtype)]
+        ).reshape(-1, 8)
+        rows = p8[idx >> 3]
+        oh = lax.broadcasted_iota(jnp.int32, (1, 8), 1) == (idx & 7)[:, None]
+        return jnp.sum(jnp.where(oh, rows, jnp.zeros((), plane.dtype)), axis=1)
+
+    kd_bits = max(int(d).bit_length(), 1)
+    if not quotient and kd_bits + 1 + id_bits <= 32:
+        meta = (k_die.astype(jnp.uint32)
+                | (dw << jnp.uint32(kd_bits))
+                | (prev.astype(jnp.uint32) << jnp.uint32(kd_bits + 1)))
+        mg = plane_take(meta, starts)
+        kd = (mg & jnp.uint32((1 << kd_bits) - 1)).astype(jnp.int32)
+        dws = ((mg >> jnp.uint32(kd_bits)) & 1).astype(bool)
+        s_last = ((mg >> jnp.uint32(kd_bits + 1)) & idmask).astype(jnp.int32)
+    else:
+        meta = k_die.astype(jnp.uint32) | (dw << jnp.uint32(kd_bits))
+        mg = plane_take(meta, starts)
+        kd = (mg & jnp.uint32((1 << kd_bits) - 1)).astype(jnp.int32)
+        dws = ((mg >> jnp.uint32(kd_bits)) & 1).astype(bool)
+        pg = plane_take(prev, starts)
+        s_last = rows_flat[pg] if quotient else pg
+    s_last = jnp.where(kd > 0, s_last, 0)
+
+    orow = outrows[s_last]  # (W, 8) row gather
+    own, ownv = orow[:, 0], orow[:, 1]
+    fl, fo, fv = orow[:, 2], orow[:, 3], orow[:, 4]
+    die_pos = starts + kd
+    has_own = (own > 0) & ~dws
+    has_fail = (fl > 0) & (dws | (own == 0))
+    end = jnp.where(has_own, die_pos, die_pos - fo)
+    length = jnp.where(has_own, own, fl)
+    val = jnp.where(has_own, ownv, fv)
+    has = has_own | has_fail
+    return die_pos, has, end - length, end, val

@@ -3,8 +3,10 @@
 Round-2 sharded longest/shortest funneled every shard's candidates into ONE
 host resolver pass — a single-host bottleneck at pod scale.  This module
 makes resolution shard-local: each shard resolves its OWN candidates
-speculatively (in a pod, on its own host, in parallel), and a cheap
-sequential stitch repairs the rare boundary interactions exactly.
+speculatively — a decomposition that lets a pod run them host-parallel
+(this single-host implementation runs the shard resolves sequentially) —
+and a cheap sequential stitch repairs the rare boundary interactions
+exactly.
 
 Why this is exact (longest, ``SetMatchQueue.java:45-95`` semantics):
 
@@ -81,8 +83,10 @@ def resolve_longest_sharded(
     segs = _split_by_end(starts, ends, vals, boundaries)
     bounds = [-(1 << 60)] + [int(b) for b in boundaries] + [1 << 62]
 
-    # Phase A — speculative per-shard resolves (parallel across hosts in a
-    # pod; each host only ever touches its own shard's candidates).
+    # Phase A — speculative per-shard resolves.  Each resolve touches only
+    # its own shard's candidates, so the decomposition ENABLES per-host
+    # parallelism in a pod (each host resolving its shard before the
+    # all-gather); this single-host implementation runs them sequentially.
     spec = [resolve_longest(*seg) if len(seg[0]) else _empty() for seg in segs]
 
     # Phase B — sequential stitch carrying the exact (anchor, tail) state.
