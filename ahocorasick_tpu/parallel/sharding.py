@@ -200,16 +200,17 @@ def model_mesh(devices=None, axis: str = "model") -> Mesh:
     return data_mesh(devices, axis)
 
 
-def sharded_table_count(
-    packed_table: np.ndarray,  # uint32[S, A] packed next | emit << state_bits
+def _table_sharded_run(
+    packed_table: np.ndarray,  # uint32[S, A] packed rows
     cls: np.ndarray,
     halo: int,
     state_bits: int,
     mesh: Mesh,
-    chunk: int = 512,
-) -> int:
-    """State-sharded (TP-analog) packed-DFA count: the TABLE is sharded over
-    the mesh, the text replicated.
+    chunk: int,
+    mode: str,  # count | count_packed | planes | hotstate
+):
+    """State-sharded (TP-analog) packed-DFA scan core: the TABLE is sharded
+    over the mesh rows, the text replicated.
 
     SURVEY §2.2 "Table sharding": only needed when the packed table exceeds
     per-chip HBM (a ~30M-state dictionary at v5e's 16 GB).  Each device
@@ -220,6 +221,15 @@ def sharded_table_count(
     capacity and is strictly slower than a replicated scan whenever the
     table fits.  Data-parallel ``make_sharded_counter`` remains the fast
     path; compose the two on a 2-D mesh by nesting this as the inner axis.
+
+    Modes (payload = packed bits above ``state_bits``):
+    ``count``        — payload is an emit mask; return its total popcount.
+    ``count_packed`` — payload is an emit count; return its total sum.
+    ``planes``       — return the END-indexed emit-mask plane uint32[1, N]
+                       (same contract as ``batched_emit_planes``).
+    ``hotstate``     — return the packed (state, count) word at positions
+                       whose arrival state ends >= 1 keyword, 0 elsewhere
+                       (same contract as ``packedcount_hotstate_plane``).
     """
     n_dev = int(mesh.devices.size)
     axis = mesh.axis_names[0]
@@ -264,19 +274,110 @@ def sharded_table_count(
             s0 = (w[:, 0] * 0).astype(jnp.uint32)
             s_h, _ = lax.scan(warm, s0, w[:, :halo].T)
 
-            def step(carry, c):
-                s, tot = carry
-                v = gather(s, c)
-                pop = lax.population_count(v >> sb)
-                return (v & smask, tot + jnp.sum(pop.astype(jnp.int32))), None
+            if mode in ("count", "count_packed"):
+                def step(carry, c):
+                    s, tot = carry
+                    v = gather(s, c)
+                    hi = v >> sb
+                    d = (lax.population_count(hi) if mode == "count" else hi)
+                    return (v & smask, tot + jnp.sum(d.astype(jnp.int32))), None
 
-            tot0 = (w[0, 0] * 0).astype(jnp.int32)
-            (_, total), _ = lax.scan(step, (s_h, tot0), w[:, halo:].T)
-            return total
+                tot0 = (w[0, 0] * 0).astype(jnp.int32)
+                (_, total), _ = lax.scan(step, (s_h, tot0), w[:, halo:].T)
+                return total
+
+            def step(s, c):
+                v = gather(s, c)
+                if mode == "planes":
+                    out = v >> sb
+                else:  # hotstate
+                    out = jnp.where((v >> sb) != 0, v, jnp.uint32(0))
+                return v & smask, out
+
+            _, outs = lax.scan(step, s_h, w[:, halo:].T)  # (C, B)
+            return outs.T.reshape(1, -1)
 
         return body(tab, windows)
 
-    return int(run(tab_dev, windows))
+    return run(tab_dev, windows)
+
+
+def sharded_table_count(
+    packed_table: np.ndarray,  # uint32[S, A] packed next | emit << state_bits
+    cls: np.ndarray,
+    halo: int,
+    state_bits: int,
+    mesh: Mesh,
+    chunk: int = 512,
+) -> int:
+    """State-sharded packed-DFA count (see ``_table_sharded_run``)."""
+    return int(_table_sharded_run(
+        packed_table, cls, halo, state_bits, mesh, chunk, "count"))
+
+
+class TableShardedScanner:
+    """State-sharded (TP-analog) scanner with the FULL match surface.
+
+    For dictionaries whose packed table exceeds per-chip HBM: the table is
+    sharded over the mesh rows and the text replicated, and — unlike the
+    round-3 count-only path — ``match_triples`` delivers every
+    (start, end, value) span exactly as the reference's ``match`` does at
+    any size (``AhoCorasickSet.java:193-252``).  Layouts:
+
+    * packed-inline (state_bits + max_depth <= 32, incl. quotient tables):
+      the emit-mask plane is extracted shard-locally and decoded like the
+      single-chip batched engine;
+    * hotstate (huge dictionaries where the mask overflows but the emit
+      COUNT packs): the (state, count) plane rides the same scan and the
+      host recovers emit masks from the state id (``hotstate_sparse``).
+
+    AC-kind (and AC-candidate) matchers only — the same automaton the
+    data-parallel ``ShardedScanner`` scans.
+    """
+
+    def __init__(self, matcher, mesh: Optional[Mesh] = None, chunk: int = 512):
+        from ahocorasick_tpu.ops import scan_batched
+
+        self.matcher = matcher
+        self.m = matcher.compiled
+        self.mesh = mesh if mesh is not None else model_mesh()
+        self.chunk = chunk
+        m = self.m
+        if scan_batched.inline_packable(m):
+            pd = scan_batched.build_packed(m)
+            self._table = pd.table
+            self._sb = pd.state_bits
+            self._halo = pd.halo
+            self.layout = "planes"
+        elif scan_batched.count_packable(m):
+            flat, sb, halo = scan_batched.build_count_packed(m)
+            self._table = flat.reshape(m.num_states, m.num_classes)
+            self._sb = sb
+            self._halo = halo
+            self.layout = "hotstate"
+        else:
+            raise ValueError(
+                "matcher has neither a packed-inline nor a count-packed "
+                "layout; no state-sharded scan applies")
+
+    def _scan(self, cls: np.ndarray, mode: str):
+        return _table_sharded_run(
+            self._table, cls, self._halo, self._sb, self.mesh, self.chunk,
+            mode)
+
+    def count(self, text: str) -> int:
+        cls = self.matcher._classes(text)
+        mode = "count" if self.layout == "planes" else "count_packed"
+        return int(self._scan(cls, mode))
+
+    def match_triples(self, text: str):
+        """(starts, ends, value_ids) in reference emission order."""
+        from ahocorasick_tpu.ops import scan_batched
+
+        cls = self.matcher._classes(text)
+        bits = self._scan(cls, self.layout)
+        return scan_batched.ac_matches_batched(
+            self.m, cls, np.asarray(bits), layout=self.layout)
 
 
 def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):

@@ -215,3 +215,76 @@ def test_sharded_halo_exceeds_chunk():
     s, e, v = sc.match_triples(text)
     assert list(zip(s.tolist(), e.tolist())) == want
     assert sc.count(text) == len(want)
+
+
+def test_table_sharded_scanner_planes_extraction():
+    """TP-analog FULL match surface (round-4): state-sharded table, emit
+    planes combined by psum, exact triples vs gold — the reference's
+    ``match`` delivers every span at any size (AhoCorasickSet.java:193-252).
+    """
+    import numpy as np
+
+    from ahocorasick_tpu.models.matchers import AhoCorasickMap
+    from ahocorasick_tpu.parallel import sharding
+
+    rng = np.random.default_rng(42)
+    kws = list({
+        "".join(rng.choice(list("abcd"), size=int(rng.integers(1, 6))))
+        for _ in range(60)
+    })
+    m = AhoCorasickMap(kws, [f"v{i}" for i in range(len(kws))])
+    ts = sharding.TableShardedScanner(m, sharding.model_mesh())
+    assert ts.layout == "planes"
+    text = "".join(rng.choice(list("abcdx"), size=3000))
+    s, e, v = ts.match_triples(text)
+    want = gold.gold_ac(m.compiled, text)
+    assert list(zip(s.tolist(), e.tolist(), v.tolist())) == want
+    assert ts.count(text) == len(want) > 0
+
+
+def test_table_sharded_scanner_hotstate_extraction():
+    """TP-analog extraction for dictionaries whose emit mask overflows the
+    packed-inline layout (the >HBM motivating shape): the (state, count)
+    hotstate plane rides the state-sharded scan; masks recovered host-side.
+    """
+    from ahocorasick_tpu.ops import scan_batched
+    from ahocorasick_tpu.parallel import sharding
+
+    kws = ["a" * i for i in range(1, 80)] + ["ab", "ba", "bb"]
+    m = act.AhoCorasickSet(kws, True)
+    assert scan_batched.hotstate_layout(m.compiled)
+    ts = sharding.TableShardedScanner(m, sharding.model_mesh())
+    assert ts.layout == "hotstate"
+    rng = random.Random(9)
+    text = _random_text(rng, 6000, "ab")
+    s, e, v = ts.match_triples(text)
+    got = list(zip(s.tolist(), e.tolist()))
+    want = [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
+    assert got == want
+    assert ts.count(text) == len(want) > 0
+
+
+def test_table_sharded_scanner_quotient():
+    """State-sharded scan over a row-compressed QUOTIENT table (dictionary
+    forced over the dense budget via the Thresholder SPI)."""
+    import numpy as np
+
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+    from ahocorasick_tpu.parallel import sharding
+
+    class _NeverDense:
+        def is_over_threshold(self, size, lo, hi):
+            return False
+
+    rng = np.random.default_rng(3)
+    kws = list({
+        "".join(rng.choice(list("abcdefgh"), size=int(rng.integers(1, 5))))
+        for _ in range(40)
+    })
+    m = AhoCorasickSet(kws, thresholder=_NeverDense())
+    assert m.compiled.is_row_compressed
+    ts = sharding.TableShardedScanner(m, sharding.model_mesh())
+    text = "".join(rng.choice(list("abcdefghx"), size=2500))
+    s, e, v = ts.match_triples(text)
+    want = [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
+    assert list(zip(s.tolist(), e.tolist())) == want
