@@ -41,7 +41,8 @@ def ac_kernel_rate(m, cls: np.ndarray, reps: int = 8, chunk: int = 512):
     plan = dispatch.count_plan(m.compiled, m.dev,
                                allow_block=jax.default_backend() == "tpu")
     which, count_fn = plan.which, plan.fn
-    windows = scan_batched.chunk_classes(cls, chunk, plan.halo)
+    windows = scan_batched.chunk_classes(cls, chunk, plan.halo,
+                                         m.compiled.num_classes)
     wdev = jax.device_put(jnp.asarray(windows))
 
     @jax.jit
@@ -86,7 +87,8 @@ def wwl_kernel_rate(m, cls: np.ndarray, reps: int = 8):
     if scan_wwl.scan_applicable(m.compiled):
         reps = max(reps, -(-(64 << 20) // max(len(cls), 1)))
         sc = m.dev.wwl_scan
-        windows = scan_batched.chunk_classes(cls_p, 512, d)
+        windows = scan_batched.chunk_classes(cls_p, 512, d,
+                                             m.compiled.num_classes)
         wdev = jax.device_put(jnp.asarray(windows))
         sdev = jax.device_put(jnp.asarray(starts))
 

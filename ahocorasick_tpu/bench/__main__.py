@@ -34,6 +34,13 @@ def word_soup(rng: np.random.Generator, keywords: list, n_units: int, hit_rate=0
     return " ".join(pieces)[:n_units]
 
 
+def _upload_bytes_per_unit(compiled) -> int:
+    """Host->device class bytes per text unit (scan_batched.class_dtype)."""
+    from ahocorasick_tpu.ops import scan_batched
+
+    return int(np.dtype(scan_batched.class_dtype(compiled.num_classes)).itemsize)
+
+
 def run_config(label: str, *, kind: str, is_map: bool, keywords: list,
                case_sensitive: bool, text: str, reps: int = 3,
                engine: str = "device", word_chars=None,
@@ -73,14 +80,17 @@ def run_config(label: str, *, kind: str, is_map: bool, keywords: list,
         # Projected direct-attach end-to-end GB/s: the measured `gbps`
         # column is a tunnel artifact (~4 MB/s host link, docs/PERF.md);
         # on directly-attached hardware end-to-end is kernel time + class
-        # upload (4 B/unit over PCIe, 8 GB/s conservative) per scan.
-        ns_per_unit = 4 / 8 + 2 / kernel_gbps  # upload + kernel, ns
+        # upload per scan (narrow classes since round 4 — uint8/uint16 per
+        # unit, scan_batched.class_dtype — over PCIe, 8 GB/s conservative).
+        up = _upload_bytes_per_unit(target.compiled)
+        ns_per_unit = up / 8 + 2 / kernel_gbps  # upload + kernel, ns
         projected_gbps = 2 / ns_per_unit
     elif kind == "whole_word_longest" and engine == "device":
         from ahocorasick_tpu.bench import wwl_kernel_rate
 
         kernel_gbps = wwl_kernel_rate(m, m._classes(text), reps=max(4, reps))
-        projected_gbps = 2 / (4 / 8 + 2 / kernel_gbps)
+        up = _upload_bytes_per_unit(m.compiled)
+        projected_gbps = 2 / (up / 8 + 2 / kernel_gbps)
     if listener_costs:
         listener_cost_records(label, m, text, reps)
     return {

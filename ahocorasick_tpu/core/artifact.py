@@ -34,9 +34,18 @@ FORMAT_VERSION = 1
 _META_FIELDS = ("kind", "case_sensitive", "num_states", "num_classes", "max_depth")
 
 
-def save(m: CompiledMatcher, path) -> None:
-    """Write a compiled matcher to ``path`` (.npz)."""
+def save(m: CompiledMatcher, path, *, ac: Optional[CompiledMatcher] = None) -> None:
+    """Write a compiled matcher to ``path`` (.npz).
+
+    ``ac``: an auxiliary automaton bundled INTO the same npz (the shortest
+    kind's internal AC over the insert-surviving keywords,
+    ``ShortestMatchSet.java:23-42`` — re-derivable state that must survive
+    persistence).  One file, any path-like or file-like target; pre-round-4
+    saves used a ``<path>.ac`` sidecar, which ``load_with_ac`` still reads.
+    """
     arrays = {}
+    if ac is not None:
+        arrays["__ac__"] = np.frombuffer(save_bytes(ac), dtype=np.uint8)
     for f in dataclasses.fields(m):
         v = getattr(m, f.name)
         if isinstance(v, np.ndarray):
@@ -112,6 +121,23 @@ def load(path, allow_pickle: bool = False) -> CompiledMatcher:
             else:
                 kwargs[f.name] = None
         return CompiledMatcher(**kwargs)
+
+
+def load_with_ac(path, allow_pickle: bool = False):
+    """Load a matcher artifact plus its bundled auxiliary AC automaton.
+
+    Returns ``(matcher, ac_or_None)``.  ``ac`` is the shortest kind's
+    internal survivors-AC bundled by ``save(..., ac=...)``; absent in
+    artifacts of other kinds and in pre-round-4 saves (which used a
+    ``<path>.ac`` sidecar — the caller handles that legacy lookup).
+    """
+    ac = None
+    with np.load(path, allow_pickle=False) as z:
+        if "__ac__" in z.files:
+            ac = load_bytes(bytes(z["__ac__"]), allow_pickle=allow_pickle)
+    if hasattr(path, "seek"):
+        path.seek(0)
+    return load(path, allow_pickle=allow_pickle), ac
 
 
 def save_bytes(m: CompiledMatcher) -> bytes:

@@ -222,7 +222,8 @@ class _CandidateSource:
             if self._plan is None:
                 self._plan = dispatch.planes_plan(self.m, self._dev)
             plan = self._plan
-            windows = scan_batched.chunk_classes(buf, _STREAM_CHUNK, plan.halo)
+            windows = scan_batched.chunk_classes(
+                buf, _STREAM_CHUNK, plan.halo, self.m.num_classes)
             # Bucket the lane count to a power of two so varying feed sizes
             # reuse compiled executables (matchers' _LANE_BUCKET rationale;
             # PAD_CLASS lanes park at the root and never emit, and the
@@ -684,7 +685,7 @@ class _WwlCursor:
             from ahocorasick_tpu.ops import scan_batched
 
             sc = self.dev.wwl_scan
-            windows = scan_batched.chunk_classes(buf_p, 512, d)
+            windows = scan_batched.chunk_classes(buf_p, 512, d, m.num_classes)
             die, has, ms, me, mv = scan_wwl.wwl_scan_walks(
                 sc.table, sc.rows_flat, sc.outrows,
                 jnp.asarray(windows), jnp.asarray(starts),

@@ -662,7 +662,8 @@ class _PfacEngine(_Matcher):
             force_batched = self.device_engine != "rowdfa"
         plan = dispatch.planes_plan(self.compiled, self.dev,
                                     force_batched=force_batched)
-        windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, plan.halo)
+        windows = scan_batched.chunk_classes(
+            cls, _BATCH_CHUNK, plan.halo, self.compiled.num_classes)
         bits = plan.fn(plan.tables, jnp.asarray(windows))
         return bits, ("hotstate" if plan.which == "hotstate" else "planes")
 
@@ -744,7 +745,8 @@ class AhoCorasickSet(_PfacEngine):
         plan = dispatch.count_plan(
             self.compiled, self.dev,
             force_batched=self.device_engine == "batched")
-        windows = scan_batched.chunk_classes(cls, _BATCH_CHUNK, plan.halo)
+        windows = scan_batched.chunk_classes(
+            cls, _BATCH_CHUNK, plan.halo, self.compiled.num_classes)
         return plan.fn(plan.tables, jnp.asarray(windows))
 
 
@@ -791,11 +793,11 @@ class ShortestMatchSet(_Matcher):
     insert-surviving keywords with the SAME fast engines every other kind
     uses (``pick_engine``: block / rowdfa / batched), then run the exact
     min-end greedy resolve (``resolve.queue.resolve_shortest`` — the
-    equivalence argument lives on that docstring).  ``save`` persists the
-    internal AC automaton as a ``<path>.ac`` sidecar and ``load_matcher``
-    restores it, so loaded artifacts keep this path; without the sidecar,
-    ``from_compiled`` falls back to the sequential restart-baked device
-    scan (dense) or the host cursor.
+    equivalence argument lives on that docstring).  ``save`` bundles the
+    internal AC automaton into the one npz artifact and ``load_matcher``
+    restores it, so loaded artifacts keep this path for any save target
+    (fspath or file-like); without the bundle, ``from_compiled`` falls back
+    to the sequential restart-baked device scan (dense) or the host cursor.
     """
 
     kind = SHORTEST
@@ -858,17 +860,18 @@ class ShortestMatchSet(_Matcher):
     # -------- artifact persistence (internal AC rides as a sidecar) ------- #
 
     def save(self, path) -> None:
-        """Persist the compiled automaton AND the internal AC automaton
-        (``<path>.ac``), so ``load_matcher`` restores the full device path
-        (candidates-then-resolve needs the survivors' AC; without the
-        sidecar a loaded shortest matcher only has the sequential scan)."""
-        super().save(path)
-        if isinstance(path, (str, bytes)) or hasattr(path, "__fspath__"):
-            ac = self._ac
-            if ac is not None:
-                from ahocorasick_tpu.core import artifact
+        """Persist the compiled automaton AND the internal AC automaton in
+        ONE npz, so ``load_matcher`` restores the full device path from any
+        target — fspath, bytes path, or file-like (BytesIO) alike
+        (candidates-then-resolve needs the survivors' AC; without it a
+        loaded shortest matcher only has the sequential scan).  The
+        survivors-AC is re-derivable compile state that must survive
+        persistence (``ShortestMatchSet.java:23-42``)."""
+        from ahocorasick_tpu.core import artifact
 
-                artifact.save(ac.compiled, str(path) + ".ac")
+        ac = self._ac
+        artifact.save(self.compiled, path,
+                      ac=ac.compiled if ac is not None else None)
 
     @classmethod
     def from_compiled(cls, compiled, engine: str = "auto", ac_compiled=None):
@@ -1024,7 +1027,7 @@ class WholeWordLongestMatchSet(_Matcher):
             # the fast path for pure-word-char dictionaries, including
             # row-compressed (quotient) ones.
             sc = self.dev.wwl_scan
-            windows = scan_batched.chunk_classes(cls_p, 512, d)
+            windows = scan_batched.chunk_classes(cls_p, 512, d, m.num_classes)
             die_c, has_c, ms_c, me_c, mv_c = scan_wwl.wwl_scan_walks(
                 sc.table, sc.rows_flat, sc.outrows,
                 jnp.asarray(windows), jnp.asarray(starts),
@@ -1117,21 +1120,26 @@ _CLASS_BY_KIND = {}
 def load_matcher(path, allow_pickle: bool = False, engine: str = "auto"):
     """Load a saved matcher artifact, returning the right matcher class.
 
-    Shortest artifacts saved by ``ShortestMatchSet.save`` carry the
-    internal AC automaton as a ``<path>.ac`` sidecar; when present it is
-    loaded too, restoring the fast candidates-then-resolve device path."""
+    Shortest artifacts saved by ``ShortestMatchSet.save`` bundle the
+    internal AC automaton inside the one npz (round-4 format); when present
+    it is restored too, reviving the fast candidates-then-resolve device
+    path.  Pre-round-4 saves used a ``<path>.ac`` sidecar file, still read
+    for fspath targets."""
     import os as _os
 
     from ahocorasick_tpu.core import artifact
 
-    compiled = artifact.load(path, allow_pickle=allow_pickle)
+    compiled, ac_compiled = artifact.load_with_ac(path, allow_pickle=allow_pickle)
     cls = _CLASS_BY_KIND[(compiled.kind, compiled.values is not None)]
-    if compiled.kind == SHORTEST and (
-        isinstance(path, (str, bytes)) or hasattr(path, "__fspath__")
-    ):
-        sidecar = str(path) + ".ac"
-        if _os.path.exists(sidecar):
-            ac_compiled = artifact.load(sidecar, allow_pickle=allow_pickle)
+    if compiled.kind == SHORTEST:
+        if ac_compiled is None and (
+            isinstance(path, (str, bytes)) or hasattr(path, "__fspath__")
+        ):
+            # Legacy sidecar (os.fsdecode: bytes paths must not mangle).
+            sidecar = _os.fsdecode(_os.fspath(path)) + ".ac"
+            if _os.path.exists(sidecar):
+                ac_compiled = artifact.load(sidecar, allow_pickle=allow_pickle)
+        if ac_compiled is not None:
             return cls.from_compiled(compiled, engine=engine,
                                      ac_compiled=ac_compiled)
     return cls.from_compiled(compiled, engine=engine)

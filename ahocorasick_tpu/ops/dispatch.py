@@ -61,7 +61,8 @@ def count_plan(compiled, dev, allow_block: bool = True,
         bd = dev.block_dfa
 
         def fn(tables, windows):
-            wt, W, G = _regroup_in_jit(windows)
+            # Pallas consumes int32 lanes; widen on device (upload stays narrow).
+            wt, W, G = _regroup_in_jit(windows.astype("int32"))
             return scan_block.block_count(
                 tables[0], wt, bd.halo, bd.state_bits, bd.num_classes,
                 bd.num_blocks, W, G)
@@ -109,7 +110,8 @@ def planes_plan(compiled, dev, force_batched: bool = False,
         bd = dev.block_dfa
 
         def fn(tables, windows):
-            wt, W, G = _regroup_in_jit(windows)
+            # Pallas consumes int32 lanes; widen on device (upload stays narrow).
+            wt, W, G = _regroup_in_jit(windows.astype("int32"))
             # Padded lanes (B rounded to G*1024 windows) trail the text;
             # the extractor trims to the text length.
             return scan_block.block_emit_planes(

@@ -311,16 +311,35 @@ def hotstate_sparse(m: CompiledMatcher, bits, n: int):
     return idx, planes_tab[states]
 
 
-def chunk_classes(cls: np.ndarray, chunk: int, halo: int) -> np.ndarray:
+def class_dtype(num_classes: int):
+    """Narrowest dtype holding class ids in [0, num_classes): uint8 / uint16.
+
+    Classes are ALWAYS < 65536 (charmap is BMP-unit indexed), so windows
+    never need int32; uploading narrow classes and widening on device cuts
+    the host->device transfer (the dominant end-to-end term on
+    directly-attached hardware) 4x for every baseline dictionary
+    (num_classes < 256 in all of them) — the reference's zero-copy hot
+    loop ethos (README.md:20,27) applied to the PCIe link."""
+    return np.uint8 if num_classes <= 256 else np.uint16
+
+
+def chunk_classes(
+    cls: np.ndarray, chunk: int, halo: int, num_classes: Optional[int] = None
+) -> np.ndarray:
     """(B, halo + chunk) windows: chunk i covers [i*chunk, (i+1)*chunk) with a
     left halo (PAD_CLASS beyond the text; PAD resets lanes toward the root,
-    which is harmless — the halo re-synchronizes them)."""
+    which is harmless — the halo re-synchronizes them).
+
+    ``num_classes`` selects the narrow upload dtype (``class_dtype``);
+    None keeps int32 (engines widen lazily in their index arithmetic, so
+    both layouts scan identically)."""
     n = len(cls)
     B = -(-max(n, 1) // chunk)
     p = np.pad(cls, (halo, B * chunk - n), constant_values=PAD_CLASS)
     # left halo of chunk i = p[i*chunk : i*chunk + halo]; body follows it.
     idx = (np.arange(B) * chunk)[:, None] + np.arange(halo + chunk)[None, :]
-    return p[idx].astype(np.int32)
+    dt = np.int32 if num_classes is None else class_dtype(num_classes)
+    return p[idx].astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=("halo", "state_bits", "num_planes"))

@@ -239,7 +239,8 @@ def _table_sharded_run(
     tab = np.pad(np.asarray(packed_table), ((0, pad_rows), (0, 0)))
     from ahocorasick_tpu.ops import scan_batched
 
-    windows = jnp.asarray(scan_batched.chunk_classes(cls, chunk, halo))
+    windows = jnp.asarray(scan_batched.chunk_classes(
+        cls, chunk, halo, A))
     smask = jnp.uint32((1 << state_bits) - 1)
     sb = jnp.uint32(state_bits)
 
@@ -418,8 +419,10 @@ def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
         per = -(-max(n, 1) // (n_dev * chunk)) * chunk
         cls_p = np.pad(cls, (0, per * n_dev - n),
                        constant_values=scan_batched.PAD_CLASS)
+        # Narrow class upload (uint8/uint16); engines widen on device.
+        dt = scan_batched.class_dtype(m.num_classes)
         return jax.device_put(
-            jnp.asarray(cls_p.astype(np.int32)),
+            jnp.asarray(cls_p.astype(dt)),
             NamedSharding(mesh, P(axis)),
         )
 
@@ -505,8 +508,10 @@ def make_sharded_planes(matcher, mesh: Mesh, chunk: int = 512):
         per = -(-max(n, 1) // (n_dev * chunk)) * chunk
         cls_p = np.pad(cls, (0, per * n_dev - n),
                        constant_values=scan_batched.PAD_CLASS)
+        # Narrow class upload (uint8/uint16); engines widen on device.
         cls_dev = jax.device_put(
-            jnp.asarray(cls_p.astype(np.int32)), NamedSharding(mesh, P(axis)))
+            jnp.asarray(cls_p.astype(scan_batched.class_dtype(m.num_classes))),
+            NamedSharding(mesh, P(axis)))
         return np.asarray(run_all(plan.tables, cls_dev))
 
     return fn, which, chunk

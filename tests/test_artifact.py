@@ -1,6 +1,7 @@
 """Artifact save/load + resumable stream cursors (SURVEY.md §5 checkpointing)."""
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -190,11 +191,11 @@ def test_cand_resume_point_into_artifact_matcher():
     assert s2.feed("cyy", is_final=True) == [(2, 5)]
 
 
-def test_shortest_artifact_sidecar_restores_device_path(tmp_path):
-    """ShortestMatch save/load round-trips the internal AC automaton
-    (<path>.ac sidecar), so loaded matchers keep the fast candidates-then-
-    resolve device path — previously from_compiled shortest fell back to
-    the sequential scan forever."""
+def test_shortest_artifact_bundles_internal_ac(tmp_path):
+    """ShortestMatch save/load round-trips the internal AC automaton inside
+    the ONE npz (round-4 format), so loaded matchers keep the fast
+    candidates-then-resolve device path — previously a <path>.ac sidecar
+    file, which silently broke BytesIO/stream saves."""
     from ahocorasick_tpu import load_matcher
     from ahocorasick_tpu.models.matchers import ShortestMatchMap
 
@@ -207,20 +208,65 @@ def test_shortest_artifact_sidecar_restores_device_path(tmp_path):
     m.save(p)
     import os
 
-    assert os.path.exists(p + ".ac")
+    assert not os.path.exists(p + ".ac")  # one file, no sidecar
 
     m2 = load_matcher(p, engine="device")
     assert m2._ac is not None
     assert m2.match(text) == want
     assert m2._pick_engine(len(text)) == "device"
     # Streams get the candidates path too (the supplier resolves the
-    # sidecar cache).
+    # bundled cache).
     import io
 
     assert m2.match_stream(io.StringIO(text), chunk_units=997) == want
 
-    # Without the sidecar, loading still works on the sequential path.
-    os.remove(p + ".ac")
+    # A matcher saved from a bundle-less compiled artifact still loads on
+    # the sequential path.
+    from ahocorasick_tpu.core import artifact
+
+    artifact.save(m.compiled, p)
     m3 = load_matcher(p)
     assert m3._ac is None
     assert m3.match(text) == want
+
+
+def test_shortest_artifact_bytesio_roundtrip_keeps_device_path():
+    """BytesIO save/load keeps the device path (round-4: the internal AC
+    rides the main npz, so file-like targets lose nothing)."""
+    import io
+
+    from ahocorasick_tpu import load_matcher
+    from ahocorasick_tpu.models.matchers import ShortestMatchSet
+
+    m = ShortestMatchSet(["she", "he", "hers", "abab"])
+    text = "ushers abab hers she " * 200
+    want = m.match(text)
+
+    buf = io.BytesIO()
+    m.save(buf)
+    buf.seek(0)
+    m2 = load_matcher(buf, engine="device")
+    assert m2._ac is not None
+    assert m2.match(text) == want
+    assert m2._pick_engine(len(text)) == "device"
+
+
+def test_shortest_artifact_legacy_sidecar_still_loads(tmp_path):
+    """Pre-round-4 artifacts (<path>.ac sidecar file) keep loading, incl.
+    via a BYTES filesystem path (os.fsdecode, not str(), builds the name)."""
+    from ahocorasick_tpu import load_matcher
+    from ahocorasick_tpu.core import artifact
+    from ahocorasick_tpu.models.matchers import ShortestMatchSet
+
+    m = ShortestMatchSet(["she", "he", "hers", "abab"])
+    text = "ushers abab hers she " * 200
+    want = m.match(text)
+
+    p = str(tmp_path / "legacy.npz")
+    artifact.save(m.compiled, p)          # legacy: no bundle
+    artifact.save(m._ac.compiled, p + ".ac")  # legacy sidecar file
+
+    for target in (p, os.fsencode(p)):
+        m2 = load_matcher(target, engine="device")
+        assert m2._ac is not None
+        assert m2.match(text) == want
