@@ -201,6 +201,14 @@ def baseline_suite(full: bool, reps: int, seed: int) -> None:
         print(json.dumps(run_config(
             f"baseline-3-{kind}-adversarial", kind=kind, is_map=False,
             keywords=kws3, case_sensitive=True, text=adversarial, reps=reps)))
+    # Match-dense delivery torture (round 4): the raw AC kind on the same
+    # adversarial text emits tens of millions of candidate spans; the
+    # listener columns measure end-to-end matches/s through the native
+    # all-candidates extractor + batched delivery (README.md:133-150).
+    print(json.dumps(run_config(
+        "baseline-3-ac-matchdense", kind="ac", is_map=False,
+        keywords=kws3, case_sensitive=True, text=adversarial, reps=reps,
+        listener_costs=True)))
 
     # 4: whole-word longest, Unicode word chars with custom overrides
     from ahocorasick_tpu.utils import chartables

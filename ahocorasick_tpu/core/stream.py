@@ -326,6 +326,11 @@ class _AcCursor(_DfaCursor):
         starts, ends, vals = self._feed_candidates_global(cls)
         return list(zip(starts.tolist(), ends.tolist(), vals.tolist()))
 
+    def feed_arrays(self, cls: np.ndarray, is_final: bool):
+        """Array-triple variant of ``feed``: skips building millions of
+        Python tuples on match-dense chunks (the listener fast path)."""
+        return self._feed_candidates_global(cls)
+
 
 class _ShortestCursor:
     """Shortest streaming: sequential restart-baked scan with a lazy upgrade
@@ -983,3 +988,20 @@ class StreamScanner:
     def feed(self, text: str, is_final: bool) -> "List[Match]":
         """Push-mode: feed one text chunk, get finalized global triples."""
         return self.cursor.feed(self._classes(text), is_final)
+
+    def feed_arrays(self, text: str, is_final: bool):
+        """Push-mode returning (starts, ends, vals) int arrays.
+
+        Cursors with a native array path (AC) skip the per-match tuple
+        build; the resolved kinds (far fewer finalized matches per chunk)
+        convert their list."""
+        cls = self._classes(text)
+        fa = getattr(self.cursor, "feed_arrays", None)
+        if fa is not None:
+            return fa(cls, is_final)
+        trips = self.cursor.feed(cls, is_final)
+        if not trips:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, z.copy()
+        a = np.asarray(trips, dtype=np.int64)
+        return a[:, 0], a[:, 1], a[:, 2]

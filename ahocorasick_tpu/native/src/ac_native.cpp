@@ -477,8 +477,12 @@ int64_t ac_resolve_shortest(const int64_t* starts, const int64_t* ends,
 // j+1 (starts at j+1-L).  Within a position, candidates must feed the
 // resolver longest-first (= start ascending at equal end), so planes and
 // bits are walked high-to-low.  mode: 0 = leftmost-longest
-// (SetMatchQueue.java:59-94), 1 = leftmost-shortest (min-end restart).
-// out_s/out_e must hold n+1 entries.  Values for the accepted spans are
+// (SetMatchQueue.java:59-94), 1 = leftmost-shortest (min-end restart),
+// 2 = ALL candidates unresolved, already in the reference emission order
+// (end asc; longest-first at equal end, AhoCorasickSet.java:522-535) --
+// the AC-kind fast path that replaces the numpy unpack + lexsort.
+// out_s/out_e must hold n+1 entries (modes 0/1) or the total candidate
+// popcount (mode 2).  Values for the accepted spans are
 // recovered afterwards by re-walking the trie over just those spans
 // (ops/emit.py::walk_values) — acceptance never depends on values.
 // Sparse variant: candidates come as (position, plane-masks) pairs for the
@@ -502,6 +506,12 @@ int64_t ac_extract_resolve_sparse(const int64_t* idx, const uint32_t* masks,
         int64_t L = 32 * p + b + 1;
         if (L > max_depth) continue;
         int64_t s = j + 1 - L, e = j + 1;
+        if (mode == 2) {  // all candidates, emission order
+          out_s[out] = s;
+          out_e[out] = e;
+          ++out;
+          continue;
+        }
         if (mode == 1) {
           if (s >= cursor) {
             out_s[out] = s;
@@ -526,7 +536,7 @@ int64_t ac_extract_resolve_sparse(const int64_t* idx, const uint32_t* masks,
       }
     }
   }
-  return mode == 1 ? out : top + 1;
+  return mode == 0 ? top + 1 : out;
 }
 
 int64_t ac_extract_resolve(const uint32_t* bits, int64_t planes,
@@ -544,6 +554,12 @@ int64_t ac_extract_resolve(const uint32_t* bits, int64_t planes,
         int64_t L = 32 * p + b + 1;
         if (L > max_depth) continue;
         int64_t s = j + 1 - L, e = j + 1;
+        if (mode == 2) {  // all candidates, emission order
+          out_s[out] = s;
+          out_e[out] = e;
+          ++out;
+          continue;
+        }
         if (mode == 1) {
           if (s >= cursor) {
             out_s[out] = s;
@@ -568,7 +584,7 @@ int64_t ac_extract_resolve(const uint32_t* bits, int64_t planes,
       }
     }
   }
-  return mode == 1 ? out : top + 1;
+  return mode == 0 ? top + 1 : out;
 }
 
 }  // extern "C"

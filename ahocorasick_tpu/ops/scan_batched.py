@@ -614,20 +614,48 @@ def ac_matches_batched(m: CompiledMatcher, cls: np.ndarray, bits,
     a host numpy array (dense path).  ``layout`` says how to decode ``bits``:
     ``"planes"`` = END-indexed emit planes, ``"hotstate"`` = the packed
     (state, count) plane of ``packedcount_hotstate_plane`` (pass the
-    producing ``EnginePlan.which``-derived value; see ``ops.dispatch``)."""
+    producing ``EnginePlan.which``-derived value; see ``ops.dispatch``).
+
+    Extraction streams through the native C extractor (mode="all") when
+    available — it walks the bit words end-ascending / longest-first, so
+    the output is ALREADY in the reference emission order and the numpy
+    unpack + 16M-entry lexsort disappear from the match-dense path."""
     from ahocorasick_tpu.ops import emit as emit_mod
+
+    try:
+        from ahocorasick_tpu.native import lib as native_lib
+
+        native_ok = native_lib.available()
+    except Exception:
+        native_ok = False
 
     if layout == "hotstate":
         idx, masks = hotstate_sparse(m, bits, len(cls))
+        if native_ok:
+            starts, ends = native_lib.extract_resolve_sparse(
+                idx, masks, len(cls), m.max_depth, "all")
+            return starts, ends, _ac_vals(m, cls, starts, ends)
         starts, lens = sparse_planes_to_matches(idx, masks, m.max_depth)
     elif (sp := planes_to_sparse(bits, len(cls))) is not None:
+        if native_ok:
+            starts, ends = native_lib.extract_resolve_sparse(
+                sp[0], sp[1], len(cls), m.max_depth, "all")
+            return starts, ends, _ac_vals(m, cls, starts, ends)
         starts, lens = sparse_planes_to_matches(sp[0], sp[1], m.max_depth)
     else:
+        if native_ok:
+            starts, ends = native_lib.extract_resolve(
+                np.asarray(bits), len(cls), m.max_depth, "all")
+            return starts, ends, _ac_vals(m, cls, starts, ends)
         starts, lens = end_planes_to_matches(np.asarray(bits), len(cls), m.max_depth)
     starts, ends, _ = emit_mod.sort_by_end_start(starts, lens)
     lens = ends - starts
+    return starts, ends, _ac_vals(m, cls, starts, ends)
+
+
+def _ac_vals(m: CompiledMatcher, cls: np.ndarray, starts, ends):
+    from ahocorasick_tpu.ops import emit as emit_mod
+
     if m.values is not None:
-        vals = emit_mod.walk_values(m, cls, starts, lens)
-    else:
-        vals = np.full(len(starts), -1, dtype=np.int64)
-    return starts, ends, vals
+        return emit_mod.walk_values(m, cls, starts, ends - starts)
+    return np.full(len(starts), -1, dtype=np.int64)

@@ -99,3 +99,33 @@ def test_chunked_listener_whole_word_kinds():
         m2.match(long_text, lambda t, s, e: (calls.append((s, e)), False)[1])
         assert calls == [(0, 2)]
         assert m2.last_stats.units <= 1024, m2.last_stats.units
+
+
+def test_adaptive_chunk_first_match_stop_scans_kib():
+    """Round-4: with the DEFAULT chunk config, an immediate-stop listener
+    scans at most _LISTENER_CHUNK_MIN units — the geometric chunk ramp
+    makes first-match stops cost KiBs, not the old fixed 1 MiB."""
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+
+    m = AhoCorasickSet(["needle"], engine="device")
+    hay = "needle " + "x" * (8 << 20)
+    seen = []
+    m.match(hay, lambda t, s, e: (seen.append((s, e)), False)[1])
+    assert seen == [(0, 6)]
+    assert m.last_stats.units <= (1 << 14), m.last_stats.units
+
+
+def test_adaptive_chunk_full_scan_exact():
+    """The growing-chunk schedule delivers the identical match sequence."""
+    import random
+
+    from ahocorasick_tpu.core import gold
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+
+    rng = random.Random(13)
+    m = AhoCorasickSet(["ab", "ba", "aab"], engine="device")
+    text = "".join(rng.choice("ab x") for _ in range(200_000))
+    got = []
+    m._LISTENER_CHUNK = 1 << 14  # several ramped chunks even at this size
+    m.match(text, lambda t, s, e: (got.append((s, e)), True)[1])
+    assert got == [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
