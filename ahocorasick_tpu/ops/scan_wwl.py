@@ -381,6 +381,41 @@ def wwl_scan_walks(
     Same contract as ``wwl_walks_at``: returns ``(die_pos, has, m_start,
     m_end, m_val)``, each ``int32[W]`` (``has`` bool).
     """
+    k_die, dw, prev = _wwl_core(
+        table, rows_flat, windows, halo, id_bits, depth_bits, num_classes,
+        d, row_layout, quotient)
+
+    # Compact to the requested starts.  Pack (k_die, die_word[, prev]) into
+    # one plane when the bits fit so padded-lane gathers stay cheap, and
+    # fetch it with 8-wide ROW gathers + a fused one-hot column select:
+    # element gathers run ~140 M/s on v5e while VMEM-resident row gathers
+    # run ~385 M rows/s (probe3/probe7) — a ~2.5x cut on the compaction.
+    idmask = jnp.uint32((1 << id_bits) - 1)
+    kd_bits = max(int(d).bit_length(), 1)
+    if not quotient and kd_bits + 1 + id_bits <= 32:
+        meta = (k_die.astype(jnp.uint32)
+                | (dw << jnp.uint32(kd_bits))
+                | (prev.astype(jnp.uint32) << jnp.uint32(kd_bits + 1)))
+        mg = _plane_take(meta, starts)
+        kd = (mg & jnp.uint32((1 << kd_bits) - 1)).astype(jnp.int32)
+        dws = ((mg >> jnp.uint32(kd_bits)) & 1).astype(bool)
+        s_last = ((mg >> jnp.uint32(kd_bits + 1)) & idmask).astype(jnp.int32)
+    else:
+        meta = k_die.astype(jnp.uint32) | (dw << jnp.uint32(kd_bits))
+        mg = _plane_take(meta, starts)
+        kd = (mg & jnp.uint32((1 << kd_bits) - 1)).astype(jnp.int32)
+        dws = ((mg >> jnp.uint32(kd_bits)) & 1).astype(bool)
+        pg = _plane_take(prev, starts)
+        s_last = rows_flat[pg] if quotient else pg
+    return _wwl_outcomes(outrows, s_last, kd, dws, starts)
+
+
+def _wwl_core(table, rows_flat, windows, halo, id_bits, depth_bits,
+              num_classes, d, row_layout, quotient):
+    """Scan + die sweep: per-position ``(k_die, die_word, prev)`` planes of
+    length ``L = B*C - (d+1)`` in flat text order.  ``prev`` is the pre-die
+    state (dense) or the flat table-entry index that produced it (quotient).
+    """
     from ahocorasick_tpu.ops.scan_rowdfa import _select_col
 
     B = windows.shape[0]
@@ -420,16 +455,14 @@ def wwl_scan_walks(
         _, vs = lax.scan(step, s_h, windows[:, halo:].T)
         fflat = None
     vflat = vs.T.reshape(-1)  # (B*C,) flat text order
-    N = B * C
-    L = N - (d + 1)
+    L = B * C - (d + 1)
     depth_p = ((vflat >> jnp.uint32(id_bits)) & dmask).astype(jnp.int32)
     word_p = (vflat >> jnp.uint32(id_bits + depth_bits)) & jnp.uint32(1)
 
     # k_die / die-char wordness / pre-die state for EVERY position, from
     # shifted slices of the scan planes — all elementwise, zero gathers.
     # Statically unrolled (d is small) so XLA sees pure static slices and
-    # fuses the whole sweep; a fori_loop + dynamic_slice variant measured
-    # ~25% slower end-to-end on v5e.
+    # fuses the whole sweep.
     z = jnp.zeros((L,), dtype=jnp.int32)
     k_die, dw, prev = z - 1, z.astype(jnp.uint32), z
     for k in range(d + 1):
@@ -444,43 +477,29 @@ def wwl_scan_walks(
         k_die = jnp.where(newly, k, k_die)
         dw = jnp.where(newly, wk, dw)
         prev = jnp.where(newly, pk, prev)
+    return k_die, dw, prev
 
-    # Compact to the requested starts.  Pack (k_die, die_word[, prev]) into
-    # one plane when the bits fit so padded-lane gathers stay cheap, and
-    # fetch it with 8-wide ROW gathers + a fused one-hot column select:
-    # element gathers run ~140 M/s on v5e while VMEM-resident row gathers
-    # run ~385 M rows/s (probe3/probe7) — a ~2.5x cut on the compaction.
-    def plane_take(plane, idx):
-        Lp = -(-plane.shape[0] // 8) * 8
-        p8 = jnp.concatenate(
-            [plane, jnp.zeros((Lp - plane.shape[0],), plane.dtype)]
-        ).reshape(-1, 8)
-        rows = p8[idx >> 3]
-        oh = lax.broadcasted_iota(jnp.int32, (1, 8), 1) == (idx & 7)[:, None]
-        return jnp.sum(jnp.where(oh, rows, jnp.zeros((), plane.dtype)), axis=1)
 
-    kd_bits = max(int(d).bit_length(), 1)
-    if not quotient and kd_bits + 1 + id_bits <= 32:
-        meta = (k_die.astype(jnp.uint32)
-                | (dw << jnp.uint32(kd_bits))
-                | (prev.astype(jnp.uint32) << jnp.uint32(kd_bits + 1)))
-        mg = plane_take(meta, starts)
-        kd = (mg & jnp.uint32((1 << kd_bits) - 1)).astype(jnp.int32)
-        dws = ((mg >> jnp.uint32(kd_bits)) & 1).astype(bool)
-        s_last = ((mg >> jnp.uint32(kd_bits + 1)) & idmask).astype(jnp.int32)
-    else:
-        meta = k_die.astype(jnp.uint32) | (dw << jnp.uint32(kd_bits))
-        mg = plane_take(meta, starts)
-        kd = (mg & jnp.uint32((1 << kd_bits) - 1)).astype(jnp.int32)
-        dws = ((mg >> jnp.uint32(kd_bits)) & 1).astype(bool)
-        pg = plane_take(prev, starts)
-        s_last = rows_flat[pg] if quotient else pg
+def _plane_take(plane, idx):
+    """Gather plane[idx] via 8-wide row gathers + fused one-hot select
+    (element gathers ~140 M/s vs VMEM row gathers ~385 M rows/s on v5e)."""
+    Lp = -(-plane.shape[0] // 8) * 8
+    p8 = jnp.concatenate(
+        [plane, jnp.zeros((Lp - plane.shape[0],), plane.dtype)]
+    ).reshape(-1, 8)
+    rows = p8[idx >> 3]
+    oh = lax.broadcasted_iota(jnp.int32, (1, 8), 1) == (idx & 7)[:, None]
+    return jnp.sum(jnp.where(oh, rows, jnp.zeros((), plane.dtype)), axis=1)
+
+
+def _wwl_outcomes(outrows, s_last, kd, dws, pos):
+    """Reference walk-outcome rules over (pre-die state, die wordness)
+    (WholeWordLongestMatchSet.java:65-94; same math as _walk_outcomes)."""
     s_last = jnp.where(kd > 0, s_last, 0)
-
     orow = outrows[s_last]  # (W, 8) row gather
     own, ownv = orow[:, 0], orow[:, 1]
     fl, fo, fv = orow[:, 2], orow[:, 3], orow[:, 4]
-    die_pos = starts + kd
+    die_pos = pos + kd
     has_own = (own > 0) & ~dws
     has_fail = (fl > 0) & (dws | (own == 0))
     end = jnp.where(has_own, die_pos, die_pos - fo)
@@ -488,3 +507,38 @@ def wwl_scan_walks(
     val = jnp.where(has_own, ownv, fv)
     has = has_own | has_fail
     return die_pos, has, end - length, end, val
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "halo", "id_bits", "depth_bits", "num_classes", "d", "row_layout",
+    "quotient", "n_keep"))
+def wwl_scan_walks_all(
+    table: jax.Array,
+    rows_flat: Optional[jax.Array],
+    outrows: jax.Array,
+    windows: jax.Array,  # int32[B, halo + C]
+    *,
+    halo: int,
+    id_bits: int,
+    depth_bits: int,
+    num_classes: int,
+    d: int,
+    row_layout: bool,
+    quotient: bool,
+    n_keep: int,  # leading positions to report (flat text order)
+):
+    """Walk outcomes for EVERY position (``wwl_walks`` contract): returns
+    ``(die_pos, has, m_start, m_end, m_val)``, each length ``n_keep``.
+
+    The sharded scanner uses this variant — per-position outputs avoid the
+    ragged per-shard word-start plumbing; the extra cost over the compacted
+    form is one outcome row-gather per position instead of per start."""
+    k_die, dw, prev = _wwl_core(
+        table, rows_flat, windows, halo, id_bits, depth_bits, num_classes,
+        d, row_layout, quotient)
+    kd = lax.slice(k_die, (0,), (n_keep,))
+    dws = (lax.slice(dw, (0,), (n_keep,)) & 1).astype(bool)
+    pg = lax.slice(prev, (0,), (n_keep,))
+    s_last = rows_flat[pg] if quotient else pg
+    pos = lax.broadcasted_iota(jnp.int32, (n_keep, 1), 0).squeeze(-1)
+    return _wwl_outcomes(outrows, s_last, kd, dws, pos)

@@ -81,10 +81,54 @@ def sharded_wwl_walks(
     dev = matcher.dev
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
-    from ahocorasick_tpu.models.matchers import _bucket_depth
 
-    d = _bucket_depth(m.max_depth)  # bucketed like single-chip
+    d = scan_wwl.bucket_depth(m.max_depth)  # bucketed like single-chip
     n = len(cls)
+
+    if scan_wwl.scan_applicable(m):
+        # Scan-based engine per shard (one DFA gather/char): a LEFT halo of
+        # ``d`` classes makes the depth plane exact at every local position
+        # (trie-prefix suffixes are <= d long — the same d-synchronization
+        # as the AC engines), and a RIGHT halo of ``cw >= d+1`` covers
+        # walks dying past the shard edge.  Also the ONLY sharded WWL path
+        # for row-compressed (quotient) dictionaries.
+        sc = dev.wwl_scan
+        cw = _chunk_for(d + 1, 512)
+        chunk = -(-max(n, 1) // (n_dev * cw)) * cw
+        cls_p = np.pad(cls, (0, chunk * n_dev - n), constant_values=0)
+        from ahocorasick_tpu.ops.scan_batched import class_dtype
+
+        cls_dev = jnp.asarray(cls_p.astype(class_dtype(m.num_classes)))
+        tabs = (sc.table, sc.outrows)
+        if sc.rows_flat is not None:
+            tabs = tabs + (sc.rows_flat,)
+        tab_specs = tuple(P(*([None] * np.ndim(t))) for t in tabs)
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=tab_specs + (P(axis),),
+            out_specs=(P(axis),) * 5,
+        )
+        def run_scan(*args):
+            cls_local = args[-1]
+            table, outr = args[0], args[1]
+            rows_flat = args[2] if sc.rows_flat is not None else None
+            lh = _left_halo(cls_local, d, axis, n_dev)
+            rh = _right_halo(cls_local, cw, axis, n_dev)
+            region = jnp.concatenate([lh, cls_local, rh])
+            windows = _windows_on_device(region, cw, d)
+            die, has, ms, me, mv = scan_wwl.wwl_scan_walks_all(
+                table, rows_flat, outr, windows,
+                halo=d, id_bits=sc.id_bits, depth_bits=sc.depth_bits,
+                num_classes=sc.num_classes, d=d, row_layout=sc.row_layout,
+                quotient=sc.quotient, n_keep=chunk)
+            off = lax.axis_index(axis) * cls_local.shape[0]
+            return die + off, has, ms + off, me + off, mv
+
+        outs = run_scan(*tabs, cls_dev)
+        return tuple(np.asarray(o)[:n] for o in outs)
+
     chunk = max(-(-max(n, 1) // n_dev), d + 1)
     cls_p = np.pad(cls, (0, chunk * n_dev - n), constant_values=0)
 

@@ -288,3 +288,42 @@ def test_table_sharded_scanner_quotient():
     s, e, v = ts.match_triples(text)
     want = [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
     assert list(zip(s.tolist(), e.tolist())) == want
+
+
+def test_sharded_wwl_scan_engine_quotient():
+    """Round-4: sharded WWL rides the scan engine, including row-compressed
+    (quotient) dictionaries — previously the sharded path required dense
+    per-state tables and row-compressed WWL had no mesh path at all."""
+    import numpy as np
+
+    from ahocorasick_tpu.models.matchers import WholeWordLongestMatchSet
+
+    kws = [chr(c) for c in range(32, 0xD800)]
+    m = WholeWordLongestMatchSet(kws)
+    assert m.compiled.is_row_compressed
+    sc = ShardedScanner(m, data_mesh())
+    rng = np.random.default_rng(5)
+    t = "".join(chr(int(x)) for x in rng.integers(32, 0xD800, size=9000))
+    s, e, v = sc.match_triples(t)
+    want = [(a, b) for a, b, _ in gold.gold_whole_word_longest(m.compiled, t)]
+    assert list(zip(s.tolist(), e.tolist())) == want
+    assert len(want) > 0
+
+
+def test_sharded_wwl_scan_engine_fuzz():
+    """Sharded scan-engine WWL vs gold across separator-quirk dictionaries
+    and boundary-straddling walks (left/right halo exactness)."""
+    from ahocorasick_tpu.models.matchers import WholeWordLongestMatchSet
+
+    mesh = data_mesh()
+    pool = ["a", "b", "ab", "ba", "aab", " ", "!!", "bab"]
+    for trial in range(25):
+        r = random.Random(500 + trial)
+        kws = list({r.choice(pool) for _ in range(r.randint(1, 6))})
+        m = WholeWordLongestMatchSet(kws)
+        sc = ShardedScanner(m, mesh)
+        t = "".join(r.choice("ab !") for _ in range(r.randint(0, 4000)))
+        s, e, v = sc.match_triples(t)
+        want = [(a, b) for a, b, _ in
+                gold.gold_whole_word_longest(m.compiled, t)]
+        assert list(zip(s.tolist(), e.tolist())) == want, (trial, kws)
