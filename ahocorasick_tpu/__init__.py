@@ -22,6 +22,7 @@ from ahocorasick_tpu.models.matchers import (
     load_matcher,
 )
 from ahocorasick_tpu.utils import chartables
+from ahocorasick_tpu.utils.chartables import default_word_chars
 from ahocorasick_tpu.utils.thresholds import RangeNodeThreshold, Thresholder
 
 __all__ = [
@@ -38,6 +39,7 @@ __all__ = [
     "CompiledMatcher",
     "compile_matcher",
     "chartables",
+    "default_word_chars",
     "Thresholder",
     "RangeNodeThreshold",
 ]
