@@ -220,7 +220,7 @@ def baseline_suite(full: bool, reps: int, seed: int) -> None:
     print(json.dumps(run_config(
         "baseline-4-wholeword-unicode", kind="whole_word_longest",
         is_map=False, keywords=kws4, case_sensitive=True, text=text4,
-        reps=reps, word_chars=wc)))
+        reps=reps, word_chars=wc, listener_costs=True)))
 
     # 5: 1M-keyword dictionary (single-chip shard of the multi-host config)
     if full:

@@ -249,7 +249,10 @@ def compile_matcher(
                 "honor a custom thresholder; use backend='auto' or 'python'"
             )
         backend = "python"
-    if backend != "python" and kind in (AC, LONGEST, SHORTEST):
+    whole_word = kind in (WHOLE_WORD, WHOLE_WORD_LONGEST)
+    if whole_word and word_chars is None:
+        word_chars = chartables.default_word_chars()
+    if backend != "python":
         try:
             from ahocorasick_tpu.native import lib as native_lib
 
@@ -263,15 +266,12 @@ def compile_matcher(
             kws_list = list(keywords)
             vals_list = list(values) if values is not None else None
             if backend == "native" or _dense_fits_estimate(kws_list, case_sensitive):
-                return _compile_native(kws_list, kind, case_sensitive, vals_list)
+                return _compile_native(kws_list, kind, case_sensitive,
+                                       vals_list,
+                                       word_chars if whole_word else None)
             keywords, values = kws_list, vals_list
         elif backend == "native":
             raise RuntimeError("native compiler backend unavailable")
-    elif backend == "native":
-        raise ValueError(f"native backend does not support kind {kind!r}")
-    whole_word = kind in (WHOLE_WORD, WHOLE_WORD_LONGEST)
-    if whole_word and word_chars is None:
-        word_chars = chartables.default_word_chars()
     if not whole_word:
         word_chars = None
 
@@ -366,6 +366,7 @@ def _compile_native(
     kind: str,
     case_sensitive: bool,
     values: Optional[Iterable],
+    word_chars: Optional[np.ndarray] = None,
 ) -> CompiledMatcher:
     """Native (C++) compile path: pack keywords, run ac_native, assemble.
 
@@ -373,6 +374,11 @@ def _compile_native(
     difference is host compile speed on large dictionaries.  Keywords are
     materialized here (the Python path streams them) — acceptable because
     the native path exists precisely for big in-memory dictionaries.
+
+    Whole-word kinds: keywords are trimmed/validated here (the reference
+    constructor semantics, WholeWordMatchSet.java:146-153), the native
+    alphabet reserves the two catch-all wordness classes, and wordness /
+    fail-carry tables are filled from ``word_chars``.
     """
     from ahocorasick_tpu.native import lib as native_lib
 
@@ -383,6 +389,19 @@ def _compile_native(
         pairs = [(k, v) for k, v in zip(keywords, values) if k is not None]
         kws = [k for k, _ in pairs]
         vals = [v for _, v in pairs]
+
+    whole_word = kind in (WHOLE_WORD, WHOLE_WORD_LONGEST)
+    if whole_word:
+        assert word_chars is not None
+        trimmed = []
+        for k in kws:
+            k = chartables.trim_word(k, word_chars)
+            if kind == WHOLE_WORD and len(k):
+                raw_units = chartables.to_utf16_units(k)
+                if not np.all(word_chars[raw_units]):
+                    raise ValueError(f"{k} contains non-word characters.")
+            trimmed.append(k)  # empties stay: native skips, value unconsumed
+        kws = trimmed
 
     joined = "".join(kws)
     units_all = chartables.to_utf16_units(joined).astype(np.uint16)
@@ -397,7 +416,11 @@ def _compile_native(
     if not case_sensitive:
         units_all = chartables.lower_table()[units_all]
 
-    t = native_lib.compile_tables(units_all, offsets, kind, values is not None)
+    wu = None
+    if whole_word:
+        wu = np.asarray(word_chars, dtype=np.uint8)
+    t = native_lib.compile_tables(units_all, offsets, kind,
+                                  values is not None, word_chars=wu)
 
     accepted = t["accepted"].astype(bool)
     value_list = None
@@ -407,7 +430,20 @@ def _compile_native(
 
     lower = chartables.lower_table()
     eff = np.arange(65536, dtype=np.int64) if case_sensitive else lower.astype(np.int64)
-    charmap = t["class_of_unit"][eff]
+    cu = t["class_of_unit"]
+    class_is_word = None
+    if whole_word:
+        # Non-edge units split by wordness into the two reserved catch-all
+        # classes (0: other non-word, 1: other word); edge classes take the
+        # wordness of their (folded) unit — exactly _build_alphabet.
+        wc = np.asarray(word_chars, dtype=bool)
+        cu = np.where(cu == 0, wc.astype(np.int32), cu)
+        A = t["num_classes"]
+        class_is_word = np.zeros(A, dtype=bool)
+        class_is_word[1] = True
+        edge = t["class_of_unit"] >= 2
+        class_is_word[t["class_of_unit"][edge]] = wc[edge]
+    charmap = cu[eff]
 
     return CompiledMatcher(
         kind=kind,
@@ -415,7 +451,7 @@ def _compile_native(
         num_states=t["num_states"],
         num_classes=t["num_classes"],
         charmap=charmap,
-        class_is_word=None,
+        class_is_word=class_is_word,
         trie_next=t["trie_next"],
         dfa_next=t["dfa_next"],
         fail=t["fail"],
@@ -428,10 +464,10 @@ def _compile_native(
         emit_count=t["emit_count"],
         emit_len=t["emit_len"],
         emit_val=t["emit_val"],
-        fail_len=None,
-        fail_off=None,
-        fail_val=None,
-        word_chars=None,
+        fail_len=t.get("fail_len"),
+        fail_off=t.get("fail_off"),
+        fail_val=t.get("fail_val"),
+        word_chars=np.asarray(word_chars, dtype=bool) if whole_word else None,
         values=value_list,
         max_depth=max_depth,
     )

@@ -52,6 +52,8 @@ def _load():
     lib.ac_get_emits.argtypes = [ctypes.c_void_p, i32p, i32p]
     lib.ac_free.restype = None
     lib.ac_free.argtypes = [ctypes.c_void_p]
+    lib.ac_fill_wwl.restype = None
+    lib.ac_fill_wwl.argtypes = [ctypes.c_void_p, u8p, i32p, i32p, i32p]
     lib.ac_follow_chain.restype = ctypes.c_int64
     lib.ac_follow_chain.argtypes = [i64p, u8p, i64p, i64p, i64p, i64p,
                                     ctypes.c_int64, ctypes.c_int64,
@@ -85,14 +87,16 @@ def _ptr(arr: Optional[np.ndarray], ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
-_KIND_CODE = {"ac": 0, "longest": 1, "shortest": 2}
+_KIND_CODE = {"ac": 0, "longest": 1, "shortest": 2, "whole_word": 3,
+              "whole_word_longest": 4}
 # ac_extract_resolve modes (ac_native.cpp): "all" streams every candidate
 # unresolved, already in the reference emission order.
 _MODE_CODE = {"longest": 0, "shortest": 1, "all": 2}
 
 
 def compile_tables(units: np.ndarray, offsets: np.ndarray, kind: str,
-                   with_values: bool) -> dict:
+                   with_values: bool,
+                   word_chars: Optional[np.ndarray] = None) -> dict:
     """Run the native compiler; returns a dict of numpy arrays.
 
     ``units``: uint16 concatenated folded keyword units; ``offsets``:
@@ -118,7 +122,7 @@ def compile_tables(units: np.ndarray, offsets: np.ndarray, kind: str,
     try:
         S = lib.ac_num_states(h)
         A = lib.ac_num_classes(h)
-        has_emit = kind in ("ac", "longest")
+        has_emit = kind in ("ac", "longest", "whole_word")
         out = {
             "num_states": int(S),
             "num_classes": int(A),
@@ -154,6 +158,18 @@ def compile_tables(units: np.ndarray, offsets: np.ndarray, kind: str,
         else:
             out["emit_len"] = out["emit_val"] = None
             out["emit_start"] = out["emit_count"] = None
+        if kind == "whole_word_longest":
+            # Carried fail matches (parent-order pass over the native trie;
+            # wordness per folded unit supplied by the caller).
+            assert word_chars is not None
+            wu = np.ascontiguousarray(word_chars, dtype=np.uint8)
+            out["fail_len"] = big_empty(S + 1, np.int32)
+            out["fail_off"] = big_empty(S + 1, np.int32)
+            out["fail_val"] = big_empty(S + 1, np.int32)
+            lib.ac_fill_wwl(h, _ptr(wu, ctypes.c_uint8),
+                            _ptr(out["fail_len"], i32),
+                            _ptr(out["fail_off"], i32),
+                            _ptr(out["fail_val"], i32))
         return out
     finally:
         lib.ac_free(h)

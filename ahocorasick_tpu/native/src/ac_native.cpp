@@ -43,6 +43,8 @@ inline bool debug_timing() {
 constexpr int KIND_AC = 0;
 constexpr int KIND_LONGEST = 1;
 constexpr int KIND_SHORTEST = 2;
+constexpr int KIND_WW = 3;       // whole_word (AC-like closure + emits)
+constexpr int KIND_WWL = 4;      // whole_word_longest (closure, no emits)
 
 // Flat open-addressing hash map over (node, unit) -> child. One table for
 // the whole trie: cache-friendly, no per-node allocation.
@@ -198,7 +200,10 @@ void* ac_build(const uint16_t* units, const int64_t* offsets,
       is_edge[r->edges.keys[j] & 0xffff] = 1;
   }
   r->class_of_unit.assign(65536, 0);
-  int32_t A = 1;  // class 0: any non-keyword char
+  // Whole-word kinds reserve TWO catch-all classes (0: other non-word,
+  // 1: other word — compiler.py::_build_alphabet base=2); the caller
+  // rewrites non-edge units' classes by wordness afterwards.
+  int32_t A = (r->kind >= KIND_WW) ? 2 : 1;  // class 0: any non-keyword char
   for (int u = 0; u < 65536; ++u) {
     if (is_edge[(size_t)u]) r->class_of_unit[(size_t)u] = A++;
   }
@@ -305,9 +310,9 @@ int64_t ac_finalize(void* h, int32_t* trie_next, int32_t* dfa_next,
   }
   AC_PHASE("closure");
 
-  // Emit lists (ac / longest): Java output() order.
+  // Emit lists (ac / longest / whole_word): Java output() order.
   int64_t E = 0;
-  if (kind == KIND_AC || kind == KIND_LONGEST) {
+  if (kind == KIND_AC || kind == KIND_LONGEST || kind == KIND_WW) {
     std::vector<int32_t> fm((size_t)S + 1, -1);
     for (size_t hh = 0; hh < r->order.size(); ++hh) {
       int32_t node = r->order[hh];
@@ -389,6 +394,34 @@ void ac_get_emits(void* h, int32_t* emit_len, int32_t* emit_val) {
 }
 
 void ac_free(void* h) { delete (Trie*)h; }
+
+// Whole-word-longest carried fail matches: the last completed
+// word-boundary match above each node (WholeWordLongestMatchSet.java:
+// 224-247; mirror of the Python pass in compiler.py::_finalize).
+// `is_word_unit`: wordness per folded UTF-16 unit (65536 bytes).
+// Outputs are [S+1] (index S = DEAD: 0/0/-1).
+void ac_fill_wwl(void* h, const uint8_t* is_word_unit, int32_t* fail_len,
+                 int32_t* fail_off, int32_t* fail_val) {
+  Trie* r = (Trie*)h;
+  const int64_t S = r->S;
+  std::fill(fail_len, fail_len + S + 1, 0);
+  std::fill(fail_off, fail_off + S + 1, 0);
+  std::fill(fail_val, fail_val + S + 1, -1);
+  for (size_t hh = 1; hh < r->order.size(); ++hh) {
+    int32_t node = r->order[hh];
+    int32_t p = r->parent[(size_t)node];
+    bool edge_is_word = is_word_unit[r->parent_unit[(size_t)node]] != 0;
+    if (r->own_len[(size_t)p] != 0 && !edge_is_word) {
+      fail_len[(size_t)node] = r->own_len[(size_t)p];
+      fail_off[(size_t)node] = 1;
+      fail_val[(size_t)node] = r->own_val[(size_t)p];
+    } else {
+      fail_len[(size_t)node] = fail_len[(size_t)p];
+      fail_off[(size_t)node] = fail_off[(size_t)p] + 1;
+      fail_val[(size_t)node] = fail_val[(size_t)p];
+    }
+  }
+}
 
 // Restart-chain follower for the whole-word-longest engine
 // (resolve/wholeword.py): per word-start walk outcomes -> emitted triples.

@@ -99,3 +99,42 @@ def test_full_random_1m_shortest_map():
             for a, b, c in gold.gold_shortest(m.compiled, window)]
     assert got == want
     assert len(want) > 0
+
+
+def test_full_random_1m_wwl(corpus):
+    """Whole-word-longest at the 4.36M-state scale: the native whole-word
+    compile (round 4) plus the scan-based walk engine, pinned count +
+    window-exact gold parity (the r3 1M coverage was AC-only)."""
+    from ahocorasick_tpu.models.matchers import WholeWordLongestMatchSet
+    from ahocorasick_tpu.ops import scan_wwl
+
+    kws, _ = corpus
+    rng = np.random.default_rng(77)
+    # Word-soup text with separators (word starts are what WWL walks).
+    letters = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz", dtype=np.uint8)
+    n_units = 1 << 20
+    words = rng.integers(0, len(kws), size=300_000)
+    noise = ["".join(letters[rng.integers(0, 26, size=int(rng.integers(3, 9)))]
+                     .tobytes().decode()) for _ in range(256)]
+    parts, total, i = [], 0, 0
+    while total < n_units:
+        w = kws[int(words[i % len(words)])] if (i % 3 == 0) else noise[i % 256]
+        parts.append(w)
+        total += len(w) + 1
+        i += 1
+    text = " ".join(parts)[:n_units]
+
+    m = WholeWordLongestMatchSet(kws, engine="device")
+    assert m.compiled.num_states == 4_356_756
+    assert scan_wwl.scan_applicable(m.compiled)
+    assert m.count(text) == 66_610
+    assert m.last_stats.engine == "device"
+
+    w0 = 300_000
+    window = text[w0 : w0 + (1 << 17)]
+    got = []
+    m.match(window, lambda t, s, e: (got.append((s, e)), True)[1])
+    want = [(a, b) for a, b, _ in
+            gold.gold_whole_word_longest(m.compiled, window)]
+    assert got == want
+    assert len(want) > 0

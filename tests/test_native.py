@@ -212,3 +212,87 @@ def test_native_extract_resolve_parity_fuzz():
             es, ee, _ = resolver(s, e, v)
             assert gs.tolist() == es.tolist() and ge.tolist() == ee.tolist(), (
                 trial, mode)
+
+
+# ---------------- whole-word kinds (round 4: native support) --------------- #
+
+WW_ARRAY_FIELDS = ARRAY_FIELDS + [
+    "class_is_word", "fail_len", "fail_off", "fail_val", "word_chars",
+]
+
+
+def assert_identical_ww(keywords, kind, case_sensitive=True, values=None,
+                        word_chars=None):
+    py = compile_matcher(list(keywords), kind, case_sensitive,
+                         values=list(values) if values else None,
+                         word_chars=word_chars, backend="python")
+    nat = compile_matcher(list(keywords), kind, case_sensitive,
+                          values=list(values) if values else None,
+                          word_chars=word_chars, backend="native")
+    assert nat.num_states == py.num_states
+    assert nat.num_classes == py.num_classes
+    assert nat.max_depth == py.max_depth
+    for f in WW_ARRAY_FIELDS:
+        a, b = getattr(py, f), getattr(nat, f)
+        if a is None:
+            assert b is None, f
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f)
+    assert py.values == nat.values
+
+
+def test_whole_word_parity():
+    from ahocorasick_tpu.core.compiler import WHOLE_WORD
+
+    assert_identical_ww(["he", "she", "hers", " trimmed "], WHOLE_WORD)
+    assert_identical_ww(["Hello", "WORLD"], WHOLE_WORD, case_sensitive=False,
+                        values=["a", "b"])
+
+
+def test_whole_word_longest_parity_fail_carries():
+    from ahocorasick_tpu.core.compiler import WHOLE_WORD_LONGEST
+
+    m = compile_matcher(["new", "new york", "new york city", "york"],
+                        WHOLE_WORD_LONGEST, True, backend="native")
+    assert int(m.fail_len.sum()) > 0  # separator edges carry fail matches
+    assert_identical_ww(["new", "new york", "new york city", "york"],
+                        WHOLE_WORD_LONGEST)
+
+
+def test_whole_word_native_reject():
+    from ahocorasick_tpu.core.compiler import WHOLE_WORD
+
+    with pytest.raises(ValueError):
+        compile_matcher(["a!b"], WHOLE_WORD, True, backend="native")
+    # The Java trim quirk returns an all-separator keyword UNCHANGED, so
+    # plain whole-word REJECTS it (non-empty, contains non-word chars) —
+    # both backends agree (WholeWordMatchSet.java:146-153).
+    with pytest.raises(ValueError):
+        compile_matcher(["  "], WHOLE_WORD, True, backend="native")
+    with pytest.raises(ValueError):
+        compile_matcher(["  "], WHOLE_WORD, True, backend="python")
+
+
+def test_whole_word_custom_word_chars_parity():
+    from ahocorasick_tpu.core.compiler import WHOLE_WORD_LONGEST
+    from ahocorasick_tpu.utils import chartables
+
+    wc = chartables.default_word_chars().copy()
+    wc[ord("'")] = True
+    assert_identical_ww(["can't", "naïve", "übermäßig"], WHOLE_WORD_LONGEST,
+                        word_chars=wc)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_whole_word_fuzz_parity(seed):
+    import random
+
+    from ahocorasick_tpu.core.compiler import WHOLE_WORD_LONGEST
+
+    r = random.Random(seed)
+    pool = ["a", "b", "ab", "a b", "ab ba", "b a b", "aab", " a ", "!b!a",
+            "  ", "é é"]
+    for _ in range(25):
+        kws = [r.choice(pool) for _ in range(r.randint(1, 10))]
+        assert_identical_ww(kws, WHOLE_WORD_LONGEST,
+                            case_sensitive=bool(r.getrandbits(1)))

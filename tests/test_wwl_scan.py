@@ -162,3 +162,15 @@ def test_word_uniform_trie_cases():
         WholeWordLongestMatchSet(["!a"]).compiled)
     assert not scan_wwl.word_uniform_trie(
         WholeWordLongestMatchSet(["a!a"]).compiled)
+
+
+def test_scan_engine_non_bmp_units():
+    """Non-BMP chars are matched per UTF-16 unit (Java parity): the scan
+    engine's depth plane counts units, and surrogate wordness follows the
+    word table exactly like the gold walk."""
+    kws = ["\U0001F600ab", "ab", "\U0001D400"]  # emoji+letters, math bold A
+    m = WholeWordLongestMatchSet(kws)
+    for t in ["\U0001F600ab ab \U0001D400", "x\U0001F600ab", "\U0001D400\U0001D400",
+              " \U0001F600ab!"]:
+        got = _collect(m, t)
+        assert got == _gold_pairs(m, t), t
