@@ -279,7 +279,7 @@ def word_uniform_trie(m) -> bool:
 
 def scan_applicable(m) -> bool:
     """The scan-based engine applies: goto-closure DFA present (round-4+
-    compiles; older artifacts fall back), pure-word-char trie, packable."""
+    compiles; older artifacts fall back), word-uniform trie, packable."""
     from ahocorasick_tpu.core.compiler import RowTable, WHOLE_WORD_LONGEST
 
     if m.kind != WHOLE_WORD_LONGEST or m.dfa_next is None:
