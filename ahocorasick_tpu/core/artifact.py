@@ -93,7 +93,25 @@ def load(path, allow_pickle: bool = False) -> CompiledMatcher:
     not JSON-serializable (pickle deserialization runs arbitrary code; only
     enable for artifacts you produced).
     """
+    return _load_impl(path, allow_pickle)[0]
+
+
+def load_with_ac(path, allow_pickle: bool = False):
+    """Load a matcher artifact plus its bundled auxiliary AC automaton.
+
+    Returns ``(matcher, ac_or_None)``.  ``ac`` is the shortest kind's
+    internal survivors-AC bundled by ``save(..., ac=...)``; absent in
+    artifacts of other kinds and in pre-round-4 saves (which used a
+    ``<path>.ac`` sidecar — the caller handles that legacy lookup).
+    """
+    return _load_impl(path, allow_pickle, want_ac=True)
+
+
+def _load_impl(path, allow_pickle: bool, want_ac: bool = False):
     with np.load(path, allow_pickle=False) as z:
+        ac = None
+        if want_ac and "__ac__" in z.files:
+            ac = load_bytes(bytes(z["__ac__"]), allow_pickle=allow_pickle)
         meta = json.loads(bytes(z["__meta__"]).decode())
         if meta.get("format_version") != FORMAT_VERSION:
             raise ValueError(f"unsupported artifact version {meta.get('format_version')}")
@@ -120,24 +138,7 @@ def load(path, allow_pickle: bool = False) -> CompiledMatcher:
                 kwargs[f.name] = RowTable(z[f.name + "__rows"], z[f.name + "__rowid"])
             else:
                 kwargs[f.name] = None
-        return CompiledMatcher(**kwargs)
-
-
-def load_with_ac(path, allow_pickle: bool = False):
-    """Load a matcher artifact plus its bundled auxiliary AC automaton.
-
-    Returns ``(matcher, ac_or_None)``.  ``ac`` is the shortest kind's
-    internal survivors-AC bundled by ``save(..., ac=...)``; absent in
-    artifacts of other kinds and in pre-round-4 saves (which used a
-    ``<path>.ac`` sidecar — the caller handles that legacy lookup).
-    """
-    ac = None
-    with np.load(path, allow_pickle=False) as z:
-        if "__ac__" in z.files:
-            ac = load_bytes(bytes(z["__ac__"]), allow_pickle=allow_pickle)
-    if hasattr(path, "seek"):
-        path.seek(0)
-    return load(path, allow_pickle=allow_pickle), ac
+        return CompiledMatcher(**kwargs), ac
 
 
 def save_bytes(m: CompiledMatcher) -> bytes:

@@ -278,6 +278,11 @@ def compile_matcher(
     trie = _Trie()
     value_list: Optional[list] = [] if values is not None else None
     max_depth = 0
+    # WHOLE_WORD_LONGEST: the goto-closure DFA (scan engine) is only built
+    # when every keyword is word-uniform — mixed keywords ("New York")
+    # disable the scan engine anyway, and the closure would only bloat
+    # compile time and artifacts (ops/scan_wwl.word_uniform_trie).
+    ww_uniform = True
 
     for keyword, val in _iter_pairs(keywords, values):
         if keyword is None:
@@ -297,6 +302,10 @@ def compile_matcher(
             continue
 
         units = _fold_units(keyword, case_sensitive)
+        if kind == WHOLE_WORD_LONGEST and len(units):
+            w = word_chars[units]
+            if w.any() and not w.all():
+                ww_uniform = False
         node = 0
         skipped = False
         for unit in units:
@@ -317,7 +326,7 @@ def compile_matcher(
 
     return _finalize(
         trie, kind, case_sensitive, value_list, word_chars, max_depth,
-        thresholder=thresholder,
+        thresholder=thresholder, ww_uniform=ww_uniform,
     )
 
 
@@ -421,6 +430,17 @@ def _compile_native(
         wu = np.asarray(word_chars, dtype=np.uint8)
     t = native_lib.compile_tables(units_all, offsets, kind,
                                   values is not None, word_chars=wu)
+    if kind == WHOLE_WORD_LONGEST:
+        # Word-uniformity over the folded keyword units: mixed keywords
+        # disable the scan engine, so the closure tables are dropped (same
+        # gate as the Python path's ww_uniform; saves artifact/HBM bytes).
+        wb = np.asarray(word_chars, dtype=bool)[units_all]
+        cs_ = np.concatenate([[0], np.cumsum(wb)])
+        seg = cs_[offsets[1:]] - cs_[offsets[:-1]]
+        seg_len = np.diff(offsets)
+        if not bool(np.all((seg == 0) | (seg == seg_len))):
+            t["dfa_next"] = None
+            t["fail"] = None
 
     accepted = t["accepted"].astype(bool)
     value_list = None
@@ -526,6 +546,7 @@ def _finalize(
     word_chars: Optional[np.ndarray],
     max_depth: int,
     thresholder=None,
+    ww_uniform: bool = True,
 ) -> CompiledMatcher:
     S = len(trie)
     charmap, A, class_of, class_is_word = _build_alphabet(trie, case_sensitive, word_chars)
@@ -568,7 +589,10 @@ def _finalize(
 
     pruned = np.zeros(S + 1, dtype=bool)
 
-    if kind in (AC, LONGEST, SHORTEST, WHOLE_WORD, WHOLE_WORD_LONGEST):
+    build_closure = kind in (AC, LONGEST, SHORTEST, WHOLE_WORD) or (
+        kind == WHOLE_WORD_LONGEST and ww_uniform
+    )
+    if build_closure:
         # WHOLE_WORD also gets fail links / closure / emit tables: its device
         # engine scans the dictionary as a plain AC automaton and filters
         # candidates by word boundaries, which is exactly equivalent for

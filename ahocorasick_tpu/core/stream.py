@@ -423,6 +423,7 @@ class _ShortestCursor:
             self.off += len(cls)
             if len(ends):
                 self.p = int(ends[-1])
+                self._p_known = True  # a real accepted end refreshed p
             self.tail = np.concatenate([self.tail, cls])[-self._halo:]
             self._tail_missing = max(self._tail_missing - len(cls), 0)
             return list(zip(starts.tolist(), ends.tolist(), vals.tolist()))
@@ -447,15 +448,21 @@ class _ShortestCursor:
                                        vals[keep_m])
         if len(re_):
             self.p = int(re_[-1])
+            self._p_known = True
         self.off += len(cls)
         keep = min(len(buf), self._halo)
         self.tail = np.asarray(buf[len(buf) - keep:], dtype=np.int32)
         return list(zip(rs.tolist(), re_.tolist(), rv.tolist()))
 
     def state_dict(self) -> dict:
+        # A legacy-pinned cursor (loaded without "p") must not launder an
+        # UNKNOWN restart cursor into a trusted one on re-save: omit "p"
+        # until a real accepted end refreshes it, so re-loaded dicts stay
+        # pinned to SEQ mode (the _maybe_upgrade guard).
         if self._cand is None:
-            d = {"state": int(self.state), "off": int(self.off),
-                 "p": int(self.p)}
+            d = {"state": int(self.state), "off": int(self.off)}
+            if self._p_known:
+                d["p"] = int(self.p)
             if self._tail_missing <= 0:
                 d["tail"] = self.tail.tolist()
             return d

@@ -54,7 +54,7 @@ def _device_capable(compiled: CompiledMatcher, kind: str) -> bool:
     (wide-alphabet) matchers: only the kinds whose device path is the packed
     batched/row/block scan over the quotient DFA (``ops/scan_batched``);
     WHOLE_WORD_LONGEST rides the scan-based walk engine over the quotient
-    DFA when the trie is pure-word-char (``ops/scan_wwl.scan_applicable``),
+    DFA when the trie is word-uniform (``ops/scan_wwl.scan_applicable``),
     else the (vectorized) host path.  SHORTEST scans as an AC automaton over
     the insert-surviving keywords plus a host resolve
     (``ShortestMatchSet._ac``) — its capability is the internal AC
@@ -70,7 +70,7 @@ def _device_capable(compiled: CompiledMatcher, kind: str) -> bool:
         return True  # delegated: internal AC matcher or host cursor
     if kind == WHOLE_WORD_LONGEST:
         # Row-compressed WWL rides the scan-based walk engine (quotient DFA
-        # + depth plane) when the trie is pure-word-char; separator-spanning
+        # + depth plane) when the trie is word-uniform; separator-spanning
         # row-compressed dictionaries keep the host walk.
         from ahocorasick_tpu.ops import scan_wwl
 
@@ -114,7 +114,8 @@ def _auto_min_units(compiled: CompiledMatcher) -> int:
         return _AUTO_DEVICE_MIN_UNITS
 # Lane counts are rounded up to this bucket so repeated calls with different
 # text lengths reuse compiled executables (padded lanes die without emitting).
-_LANE_BUCKET = 1 << 12
+from ahocorasick_tpu.utils.lanes import LANE_BUCKET as _LANE_BUCKET
+from ahocorasick_tpu.utils.lanes import bucket_depth as _bucket_depth
 
 
 def _bucket_up(n: int, minimum: int = 8) -> int:
@@ -622,13 +623,6 @@ class _Matcher:
 # --------------------------------------------------------------------------- #
 # Device engine mixins per kind
 # --------------------------------------------------------------------------- #
-
-
-def _bucket_depth(d: int) -> int:
-    # Pad walk depth to multiples of 4: extra depth steps only walk
-    # already-dead lanes (no emissions), so this trades a little wasted work
-    # for fewer distinct compiled executables.
-    return max(-(-d // 4) * 4, 4)
 
 
 # v4 chunk length: B = N/C lanes scan C sequential steps; small C maximizes

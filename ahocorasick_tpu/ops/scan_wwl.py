@@ -29,13 +29,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-LANE_BUCKET = 1 << 12  # lane-count rounding (matchers._LANE_BUCKET)
-
-
-def bucket_depth(d: int) -> int:
-    """Walk depth padded to x4 (fewer distinct executables; extra steps
-    only walk dead lanes).  Single source for matcher/bench/stream."""
-    return max(-(-d // 4) * 4, 4)
+from ahocorasick_tpu.utils.lanes import LANE_BUCKET, bucket_depth  # noqa: F401
 
 
 def compact_lanes(compiled, cls: np.ndarray, text_start: bool = True):

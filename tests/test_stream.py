@@ -469,3 +469,26 @@ def test_wwl_stream_midbuffer_index_zero_not_word_start():
     want = g.match(text)
     for chunk in (1, 2, 3, 5):
         assert m.match_stream(io.StringIO(text), chunk_units=chunk) == want
+
+
+def test_shortest_legacy_resume_not_laundered_by_resave():
+    """A pre-round-3 {state, off} resume point has no trusted restart
+    cursor p; re-saving the cursor before any match finalizes must NOT
+    launder p=0 into a trusted value (which would un-pin the SEQ mode and
+    let the CAND upgrade emit overlapping matches).  p reappears in
+    state_dict only after a real accepted end refreshes it."""
+    from ahocorasick_tpu.models.matchers import ShortestMatchSet
+
+    m = ShortestMatchSet(["abcd", "bc"])
+    s1 = m.stream()
+    s1.load_state_dict({"state": 0, "off": 100})
+    d1 = s1.state_dict()
+    assert "p" not in d1  # unknown cursor stays unknown
+    # Feeding a match-free chunk still must not invent p.
+    s1.feed("xxxx", is_final=False)
+    assert "p" not in s1.state_dict()
+    # After a real match finalizes, p is trusted again.
+    trips = s1.feed("xabcdx", is_final=False)
+    assert trips
+    d2 = s1.state_dict()
+    assert "p" in d2 and d2["p"] == trips[-1][1]
