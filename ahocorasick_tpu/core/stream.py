@@ -79,61 +79,80 @@ def _read_chunks(source, chunk_units: int):
                 yield piece
 
 
+# Jitted sequential runners keyed by TABLE identity (LRU of 4, strong refs
+# keep ids stable): call sites that build a fresh cursor per match (the
+# row-compressed gold path, the sharded shortest fallback) would otherwise
+# re-trace and re-compile the lax.scan on every call — measured ~70-200 ms
+# per compile vs ~0.2 ms warm.
+from collections import OrderedDict as _OrderedDict
+
+_SEQSCAN_JITS: "_OrderedDict[int, tuple]" = _OrderedDict()
+
+
+def _seqscan_jit(table):
+    ent = _SEQSCAN_JITS.get(id(table))
+    if ent is not None and ent[0] is table:
+        _SEQSCAN_JITS.move_to_end(id(table))
+        return ent[1]
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from ahocorasick_tpu.core.compiler import RowTable
+
+    if isinstance(table, RowTable):
+        # Row-compressed table: two-level gather keeps wide-alphabet
+        # dictionaries streamable without dense materialization.
+        rows = jnp.asarray(table.rows)
+        row_id = jnp.asarray(table.row_id)
+
+        @jax.jit
+        def run(cls_pad, s0):
+            def step(s, c):
+                s2 = rows[row_id[s], c]
+                return s2, s2
+
+            _, states = lax.scan(
+                step, jnp.asarray(s0, dtype=jnp.int32), cls_pad
+            )
+            return states
+
+    else:
+        tdev = jnp.asarray(table)
+
+        @jax.jit
+        def run(cls_pad, s0):
+            def step(s, c):
+                s2 = tdev[s, c]
+                return s2, s2
+
+            _, states = lax.scan(
+                step, jnp.asarray(s0, dtype=jnp.int32), cls_pad
+            )
+            return states
+
+    _SEQSCAN_JITS[id(table)] = (table, run)
+    if len(_SEQSCAN_JITS) > 4:
+        _SEQSCAN_JITS.popitem(last=False)
+    return run
+
+
 class _SeqScan:
     """Cached bucketed ``lax.scan`` DFA runner (host or device backend)."""
 
     def __init__(self, table: np.ndarray):
         self._table = table
-        self._jit = None
 
     def states(self, cls: np.ndarray, s0: int) -> Tuple[np.ndarray, int]:
         """Arrival states for ``cls`` starting from ``s0``; returns carry."""
         n = len(cls)
         if n == 0:
             return np.zeros(0, dtype=np.int32), s0
-        if self._jit is None:
-            import jax
-            import jax.numpy as jnp
-            from jax import lax
-
-            from ahocorasick_tpu.core.compiler import RowTable
-
-            if isinstance(self._table, RowTable):
-                # Row-compressed table: two-level gather keeps wide-alphabet
-                # dictionaries streamable without dense materialization.
-                rows = jnp.asarray(self._table.rows)
-                row_id = jnp.asarray(self._table.row_id)
-
-                @jax.jit
-                def run(cls_pad, s0):
-                    def step(s, c):
-                        s2 = rows[row_id[s], c]
-                        return s2, s2
-
-                    _, states = lax.scan(
-                        step, jnp.asarray(s0, dtype=jnp.int32), cls_pad
-                    )
-                    return states
-
-            else:
-                table = jnp.asarray(self._table)
-
-                @jax.jit
-                def run(cls_pad, s0):
-                    def step(s, c):
-                        s2 = table[s, c]
-                        return s2, s2
-
-                    _, states = lax.scan(
-                        step, jnp.asarray(s0, dtype=jnp.int32), cls_pad
-                    )
-                    return states
-
-            self._jit = run
+        run = _seqscan_jit(self._table)
         n_pad = -(-n // _SCAN_BUCKET) * _SCAN_BUCKET
         cls_pad = np.zeros(n_pad, dtype=np.int32)
         cls_pad[:n] = cls
-        states = np.asarray(self._jit(cls_pad, np.int32(s0)))[:n]
+        states = np.asarray(run(cls_pad, np.int32(s0)))[:n]
         return states, int(states[-1])
 
 
@@ -495,6 +514,16 @@ class _ShortestCursor:
         ac = self._ac() if callable(self._ac) else self._ac
         if ac is not None:
             ac_m, ac_dev, cls_map = ac
+            if bool(d.get("ac_space")) != (cls_map is not None):
+                # The saved tail's class space (outer vs remapped internal
+                # AC) must match this build's, else the warmup states after
+                # resume would silently diverge — same hazard the no-AC
+                # branch below rejects.
+                raise ValueError(
+                    "resume point's tail class space does not match this "
+                    "matcher's internal-AC charmap; resume with a matcher "
+                    "built like the one that saved it"
+                )
             self._cand = _CandidateSource(ac_m, ac_dev, self.engine)
             self._cls_map = cls_map
             return

@@ -41,11 +41,7 @@ from typing import List, Sequence, Tuple
 
 import numpy as np
 
-from ahocorasick_tpu.resolve.queue import (
-    MatchQueue,
-    resolve_longest,
-    resolve_shortest,
-)
+from ahocorasick_tpu.resolve.queue import resolve_longest, resolve_shortest
 
 Triple = Tuple[np.ndarray, np.ndarray, np.ndarray]
 
@@ -103,36 +99,39 @@ def resolve_longest_sharded(
         if int(seg[0].min()) >= tail_last_end:
             rs, re_, rv = spec[k]
         else:
-            # Exact re-resolve seeded with the boundary state.
-            q = MatchQueue()
-            if anchor is not None:
-                q.push(*anchor)
-            for t in tail:
-                q.push(*t)
-            n_seed = len(q._starts)
-            for s, e, v in zip(seg[0].tolist(), seg[1].tolist(), seg[2].tolist()):
-                q.push(s, e, v)
-            resolved = q.drain()
+            # Exact re-resolve seeded with the boundary state, through the
+            # (native) resolver: pushing the seed entries from an empty
+            # queue appends exactly them (mutually non-overlapping, end-
+            # ascending, and every seed end precedes every segment end), so
+            # resolving [seed ++ segment] equals the seeded-queue run —
+            # without the per-candidate Python push loop on exactly the
+            # adversarial inputs that take this branch.
+            seed = ([anchor] if anchor is not None else []) + tail
+            n_seed = len(seed)
+            seed_a = np.asarray(seed, dtype=np.int64).reshape(n_seed, 3)
+            rs_all, re_all, rv_all = resolve_longest(
+                np.concatenate([seed_a[:, 0], seg[0]]),
+                np.concatenate([seed_a[:, 1], seg[1]]),
+                np.concatenate([seed_a[:, 2], seg[2]]),
+            )
             # Seeded entries may have been displaced/replaced: the entries
             # at/after the first change replace the already-emitted tail.
-            seed = ([anchor] if anchor is not None else []) + tail
             keep = 0
-            while (keep < n_seed and keep < len(resolved)
-                   and resolved[keep] == seed[keep]):
+            while (keep < n_seed and keep < len(rs_all)
+                   and (int(rs_all[keep]), int(re_all[keep]),
+                        int(rv_all[keep])) == seed[keep]):
                 keep += 1
-            dropped = len(seed) - keep  # emitted entries now invalid
+            dropped = n_seed - keep  # emitted entries now invalid
             # The anchor itself can never be displaced (every segment-k
             # candidate starts after anchor.end, see module docstring), so
             # only tail entries are ever dropped.
             assert anchor is None or keep >= 1
             if dropped:
                 _drop_trailing(out_s, out_e, out_v, dropped)
-            new = resolved[keep:]
-            rs = np.asarray([t[0] for t in new], dtype=np.int64)
-            re_ = np.asarray([t[1] for t in new], dtype=np.int64)
-            rv = np.asarray([t[2] for t in new], dtype=np.int64)
-            # Rebuild tail bookkeeping below from the full resolved list.
-            tail = []
+            rs = np.asarray(rs_all[keep:], dtype=np.int64)
+            re_ = np.asarray(re_all[keep:], dtype=np.int64)
+            rv = np.asarray(rv_all[keep:], dtype=np.int64)
+            # Tail bookkeeping is rebuilt below from the full emitted list.
         out_s.append(rs)
         out_e.append(re_)
         out_v.append(rv)

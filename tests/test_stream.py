@@ -492,3 +492,23 @@ def test_shortest_legacy_resume_not_laundered_by_resave():
     assert trips
     d2 = s1.state_dict()
     assert "p" in d2 and d2["p"] == trips[-1][1]
+
+
+def test_seqscan_jit_cached_across_cursor_instances():
+    """The sequential lax.scan runner is cached by table identity: fresh
+    cursors per call (row-compressed gold path, sharded shortest fallback)
+    must not re-trace/re-compile per call (review finding, round 4)."""
+    from ahocorasick_tpu.core import stream as stream_mod
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+
+    class _NeverDense:
+        def is_over_threshold(self, size, lo, hi):
+            return False
+
+    m = AhoCorasickSet(["ab", "bc"], thresholder=_NeverDense())
+    assert m.compiled.is_row_compressed
+    m.match_triples("abcabc")
+    run1 = stream_mod._seqscan_jit(m.compiled.dfa_next)
+    m.match_triples("bcbcbc")
+    run2 = stream_mod._seqscan_jit(m.compiled.dfa_next)
+    assert run1 is run2
