@@ -28,7 +28,7 @@ bit-identical.
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, List, Optional, Sequence, Tuple
+from typing import Callable, Iterable, Optional, Tuple
 
 import numpy as np
 
@@ -43,7 +43,7 @@ from ahocorasick_tpu.core.compiler import (
     compile_matcher,
 )
 from ahocorasick_tpu.resolve.queue import resolve_longest, resolve_shortest
-from ahocorasick_tpu.resolve.wholeword import follow_chain, word_starts
+from ahocorasick_tpu.resolve.wholeword import follow_chain
 from ahocorasick_tpu.utils import chartables
 
 
@@ -159,6 +159,9 @@ class _DeviceTables:
             t[: m.num_states, : m.num_classes] = m.dfa_next
             return t
         if name == "dfa_next_shortest":
+            # Consumer: the sigma-stitch shortest path (ops/stitch.py,
+            # tests/test_stitch.py); production shortest scans bake the
+            # restart in-kernel (ops/scan_dfa.shortest_states) instead.
             # The shortest matcher's restart-at-root baked into the table:
             # delta''[s, c] = delta[root, c] for match states (which makes the
             # lagged loop a *pure* DFA, chunk-stitchable like any other).
@@ -389,11 +392,20 @@ class _Matcher:
     def match_triples(self, text: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """All matches as (starts, ends, value_ids) numpy arrays, in the
         reference's emission order."""
+        return self._match_triples_impl(text, self._classes(text))
+
+    def _match_triples_impl(self, text: str, cls: np.ndarray):
         from ahocorasick_tpu.utils.stats import ScanStats, timed
 
-        cls = self._classes(text)
         engine = self._pick_engine(len(cls))
         self.last_stats = ScanStats(units=len(cls), engine=engine, kind=self.kind)
+        if len(cls) == 0:
+            # Every kind matches nothing in an empty text; returning here
+            # keeps the device engines (and their table builds/compiles)
+            # untouched by empty feeds — notably the pfac2 ranked-table
+            # build, which would densify row-compressed tries.
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
         with timed(self.last_stats):
             if engine == "gold":
                 if self.compiled.is_row_compressed and self.kind in (
@@ -459,7 +471,7 @@ class _Matcher:
     def match(self, haystack: str, listener: Optional[Callable] = None):
         """Reference ``match``: deliver to a listener, or return the list."""
         if listener is not None:
-            if self._listener_chunkable(len(haystack)):
+            if self._listener_chunkable(haystack):
                 return self._match_chunked(haystack, listener)
             starts, ends, vals = self.match_triples(haystack)
             self._deliver(haystack, listener, starts, ends, vals)
@@ -473,13 +485,20 @@ class _Matcher:
             return [(s, e, values[v]) for s, e, v in zip(sl, el, vl)]
         return list(zip(sl, el))
 
-    def _listener_chunkable(self, n: int) -> bool:
+    def _listener_chunkable(self, haystack: str) -> bool:
         # Every kind's stream cursor now rides the device engines (DFA
         # kinds: tail-carried batched scans; whole-word kinds: candidates/
         # compact-walk engines), so chunked delivery costs nothing and a
         # False listener saves the unscanned suffix for all of them.
         # Row-compressed shapes without a device path pick "gold" here and
-        # keep the full-scan path.
+        # keep the full-scan path.  The gate is in UTF-16 UNITS: astral
+        # code points count twice, so texts near the threshold measure
+        # their exact unit length (the encode is amortized by the scan).
+        n = len(haystack)
+        if 2 * n <= self._LISTENER_CHUNK:
+            return False  # cannot reach the gate even if all astral
+        if n <= self._LISTENER_CHUNK:
+            n = len(chartables.to_utf16_units(haystack))
         return n > self._LISTENER_CHUNK and self._pick_engine(n) == "device"
 
     def _match_chunked(self, haystack: str, listener) -> None:
@@ -580,6 +599,8 @@ class _Matcher:
     @classmethod
     def from_compiled(cls, compiled: CompiledMatcher, engine: str = "auto"):
         """Wrap an existing/loaded ``CompiledMatcher`` without recompiling."""
+        if engine not in ("auto", "device", "gold"):
+            raise ValueError(f"unknown engine {engine!r}")
         if compiled.kind != cls.kind or (compiled.values is not None) != cls.is_map:
             raise ValueError(
                 f"artifact is kind={compiled.kind!r} "
@@ -749,7 +770,8 @@ class AhoCorasickSet(_PfacEngine):
         cls = self._classes(text)
         engine = self._pick_engine(len(cls))
         if engine != "device" or self.device_engine not in ("rowdfa", "batched"):
-            return super().count(text)
+            # Fallback shares the already-computed classes (no re-encode).
+            return int(len(self._match_triples_impl(text, cls)[0]))
         self.last_stats = ScanStats(units=len(cls), engine=engine, kind=self.kind)
         with timed(self.last_stats):
             n = int(self._device_count(cls))
@@ -863,13 +885,8 @@ class ShortestMatchSet(_Matcher):
             # the skip trigger is an existing keyword path), so the charmaps
             # normally coincide and shortest-classes feed the AC engines
             # directly.  Guard with a class remap if they ever diverge.
-            mc, ac = self.compiled, self._ac_cache.compiled
-            if np.array_equal(mc.charmap, ac.charmap):
-                self._cls_map = None
-            else:
-                M = np.zeros(mc.num_classes, dtype=np.int32)
-                M[mc.charmap] = ac.charmap
-                self._cls_map = M
+            self._cls_map = _build_cls_map(self.compiled,
+                                           self._ac_cache.compiled)
         return self._ac_cache
 
     def _ac_classes(self, cls: np.ndarray) -> np.ndarray:
@@ -902,13 +919,7 @@ class ShortestMatchSet(_Matcher):
         self._src = None
         ac_cls = AhoCorasickMap if cls.is_map else AhoCorasickSet
         self._ac_cache = ac_cls.from_compiled(ac_compiled)
-        mc, ac = compiled, ac_compiled
-        if np.array_equal(mc.charmap, ac.charmap):
-            self._cls_map = None
-        else:
-            M = np.zeros(mc.num_classes, dtype=np.int32)
-            M[mc.charmap] = ac.charmap
-            self._cls_map = M
+        self._cls_map = _build_cls_map(compiled, ac_compiled)
         if engine == "device" and not _device_capable(ac_compiled, AC):
             raise ValueError(
                 "sidecar AC automaton has no device path; use engine='auto'"
@@ -1171,6 +1182,16 @@ def _register_classes():
         WholeWordMatchMap, WholeWordLongestMatchSet, WholeWordLongestMatchMap,
     ):
         _CLASS_BY_KIND[(cls.kind, cls.is_map)] = cls
+
+
+def _build_cls_map(mc: CompiledMatcher, ac: CompiledMatcher):
+    """Outer-charmap class -> internal-AC class remap (None when the
+    charmaps coincide — the normal case; see ShortestMatchSet._ac)."""
+    if np.array_equal(mc.charmap, ac.charmap):
+        return None
+    M = np.zeros(mc.num_classes, dtype=np.int32)
+    M[mc.charmap] = ac.charmap
+    return M
 
 
 def _resolve_word_chars(word_chars, toggle_flags):

@@ -95,8 +95,10 @@ def count_plan(compiled, dev, allow_block: bool = True,
     return EnginePlan("batched", pd.halo, (pd.table,), fn)
 
 
-def planes_plan(compiled, dev, force_batched: bool = False,
-                allow_block: bool = True) -> EnginePlan:
+def planes_plan(compiled, dev, allow_block: bool = True,
+                force_batched: bool = False) -> EnginePlan:
+    # NOTE: keyword-argument order matches count_plan exactly so the twin
+    # switches cannot be positionally confused.
     """Plan for the END-indexed emit-plane kernels (``uint32[P, N]`` bits).
 
     ``force_batched`` skips the row/block engines (the matchers'

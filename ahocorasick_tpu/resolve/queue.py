@@ -107,10 +107,13 @@ def resolve_longest(
     try:
         from ahocorasick_tpu.native import lib as native_lib
 
-        if native_lib.available():
-            return native_lib.resolve_longest(starts, ends, vals)
-    except Exception:
-        pass
+        native_ok = native_lib.available()
+    except Exception:  # import/build failure only: fall back quietly
+        native_ok = False
+    if native_ok:
+        # OUTSIDE the try: a real native-call failure must surface, not
+        # silently degrade to the ~100x slower Python loop.
+        return native_lib.resolve_longest(starts, ends, vals)
     return resolve_longest_py(starts, ends, vals)
 
 
@@ -143,10 +146,13 @@ def resolve_shortest(
     try:
         from ahocorasick_tpu.native import lib as native_lib
 
-        if native_lib.available():
-            return native_lib.resolve_shortest(starts, ends, vals)
-    except Exception:
-        pass
+        native_ok = native_lib.available()
+    except Exception:  # import/build failure only: fall back quietly
+        native_ok = False
+    if native_ok:
+        # OUTSIDE the try: a real native-call failure must surface, not
+        # silently degrade to the ~100x slower Python loop.
+        return native_lib.resolve_shortest(starts, ends, vals)
     return resolve_shortest_py(starts, ends, vals)
 
 

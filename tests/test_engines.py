@@ -185,3 +185,31 @@ def test_wwl_compact_and_full_walk_paths_agree():
         m2 = act.WholeWordLongestMatchSet(kws, engine="device")
         m2._WWL_COMPACT_DENSITY = -1.0  # force full branch
         assert triples(m2, text) == want, ("full", text[:20])
+
+
+def test_empty_text_device_engine_no_table_builds():
+    """Empty input returns empty triples WITHOUT touching the device
+    engines (review finding: the pfac2 fallback would densify a
+    row-compressed trie on an empty feed)."""
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+
+    class _NeverDense:
+        def is_over_threshold(self, size, lo, hi):
+            return False
+
+    m = AhoCorasickSet(["ab", "bc"], thresholder=_NeverDense(), engine="device")
+    assert m.compiled.is_row_compressed
+    s, e, v = m.match_triples("")
+    assert len(s) == len(e) == len(v) == 0
+    assert m.dev._cache == {}  # no device tables were built
+    assert m.match("") == []
+
+
+def test_from_compiled_rejects_unknown_engine():
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+
+    m = AhoCorasickSet(["ab"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        AhoCorasickSet.from_compiled(m.compiled, engine="glod")
