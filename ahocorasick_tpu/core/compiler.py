@@ -430,17 +430,9 @@ def _compile_native(
         wu = np.asarray(word_chars, dtype=np.uint8)
     t = native_lib.compile_tables(units_all, offsets, kind,
                                   values is not None, word_chars=wu)
-    if kind == WHOLE_WORD_LONGEST:
-        # Word-uniformity over the folded keyword units: mixed keywords
-        # disable the scan engine, so the closure tables are dropped (same
-        # gate as the Python path's ww_uniform; saves artifact/HBM bytes).
-        wb = np.asarray(word_chars, dtype=bool)[units_all]
-        cs_ = np.concatenate([[0], np.cumsum(wb)])
-        seg = cs_[offsets[1:]] - cs_[offsets[:-1]]
-        seg_len = np.diff(offsets)
-        if not bool(np.all((seg == 0) | (seg == seg_len))):
-            t["dfa_next"] = None
-            t["fail"] = None
+    # (Mixed-wordness WWL dictionaries come back with dfa_next/fail = None:
+    # compile_tables gates the closure build on word-uniformity, matching
+    # the Python path's ww_uniform.)
 
     accepted = t["accepted"].astype(bool)
     value_list = None
@@ -587,8 +579,6 @@ def _finalize(
     emit_start = emit_count = emit_len_arr = emit_val_arr = None
     fail_len = fail_off = fail_val = None
 
-    pruned = np.zeros(S + 1, dtype=bool)
-
     build_closure = kind in (AC, LONGEST, SHORTEST, WHOLE_WORD) or (
         kind == WHOLE_WORD_LONGEST and ww_uniform
     )
@@ -644,7 +634,6 @@ def _finalize(
                         match_len[node] = match_len[f]
                         match_val[node] = match_val[f]
                     if level > 1 and match_len[node] != 0:
-                        pruned[node] = True
                         overrides[node] = {}
                         fail[node] = 0
             for node in nodes.tolist():

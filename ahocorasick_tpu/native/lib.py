@@ -47,7 +47,7 @@ def _load():
     lib.ac_get_build_meta.restype = None
     lib.ac_get_build_meta.argtypes = [ctypes.c_void_p, i32p, u8p]
     lib.ac_finalize.restype = ctypes.c_int64
-    lib.ac_finalize.argtypes = [ctypes.c_void_p] + [i32p] * 10
+    lib.ac_finalize.argtypes = [ctypes.c_void_p] + [i32p] * 10 + [ctypes.c_int]
     lib.ac_get_emits.restype = None
     lib.ac_get_emits.argtypes = [ctypes.c_void_p, i32p, i32p]
     lib.ac_free.restype = None
@@ -112,6 +112,17 @@ def compile_tables(units: np.ndarray, offsets: np.ndarray, kind: str,
     units = np.ascontiguousarray(units, dtype=np.uint16)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     n = len(offsets) - 1
+    build_closure = True
+    if kind == "whole_word_longest":
+        # Word-uniformity over the folded keyword units decides whether the
+        # goto-closure DFA (the scan engine's table) is built at all —
+        # mixed keywords disable the engine, so skip the dense S*A fill
+        # entirely (same ww_uniform gate as the Python compiler).
+        assert word_chars is not None
+        wb = np.asarray(word_chars, dtype=bool)[units]
+        cs_ = np.concatenate([[0], np.cumsum(wb)])
+        seg = cs_[offsets[1:]] - cs_[offsets[:-1]]
+        build_closure = bool(np.all((seg == 0) | (seg == np.diff(offsets))))
     h = lib.ac_build(
         _ptr(units, ctypes.c_uint16),
         _ptr(offsets, ctypes.c_int64),
@@ -128,8 +139,8 @@ def compile_tables(units: np.ndarray, offsets: np.ndarray, kind: str,
             "num_classes": int(A),
             "class_of_unit": np.empty(65536, dtype=np.int32),
             "trie_next": big_empty((S + 1, A), np.int32),
-            "dfa_next": big_empty((S, A), np.int32),
-            "fail": big_empty(S, np.int32),
+            "dfa_next": big_empty((S, A), np.int32) if build_closure else None,
+            "fail": big_empty(S, np.int32) if build_closure else None,
             "own_len": big_empty(S + 1, np.int32),
             "own_val": big_empty(S + 1, np.int32),
             "match_len": big_empty(S + 1, np.int32),
@@ -149,6 +160,7 @@ def compile_tables(units: np.ndarray, offsets: np.ndarray, kind: str,
             _ptr(out["own_val"], i32), _ptr(out["match_len"], i32),
             _ptr(out["match_val"], i32), _ptr(out["depth"], i32),
             _ptr(out["emit_start"], i32), _ptr(out["emit_count"], i32),
+            ctypes.c_int(int(build_closure)),
         )
         if has_emit:
             out["emit_len"] = big_empty(max(E, 1), np.int32)

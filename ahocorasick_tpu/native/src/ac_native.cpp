@@ -236,10 +236,15 @@ void ac_get_build_meta(void* h, int32_t* class_of_unit, uint8_t* accepted) {
 // own_len/own_val/match_len/match_val/depth[S+1],
 // emit_start/emit_count[S+1] (null for shortest).  Returns E (emit table
 // length; 0 when emits not built).
+// ``build_closure`` = 0 skips the fail-link + goto-closure pass (dfa_next
+// and fail may be null then): mixed-wordness WHOLE_WORD_LONGEST
+// dictionaries never consult the closure (the scan engine is gated off),
+// so the dense S*A fill and its first-touch page faults are skipped.
 int64_t ac_finalize(void* h, int32_t* trie_next, int32_t* dfa_next,
                     int32_t* fail, int32_t* own_len, int32_t* own_val,
                     int32_t* match_len, int32_t* match_val, int32_t* depth,
-                    int32_t* emit_start, int32_t* emit_count) {
+                    int32_t* emit_start, int32_t* emit_count,
+                    int build_closure) {
   double t0 = now_s();
   Trie* r = (Trie*)h;
   const int64_t S = r->S;
@@ -267,6 +272,7 @@ int64_t ac_finalize(void* h, int32_t* trie_next, int32_t* dfa_next,
   std::memcpy(match_val, own_val, (size_t)(S + 1) * sizeof(int32_t));
 
   // BFS pass: fail links + goto closure (+ shortest pruning).
+  if (!build_closure) return 0;
   fail[0] = 0;  // root (the Python path zero-fills; buffers here are empty)
   for (int32_t c = 0; c < A; ++c) {
     int32_t t = trie_next[(size_t)c];

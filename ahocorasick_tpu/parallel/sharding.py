@@ -35,21 +35,12 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from ahocorasick_tpu.core.compiler import CompiledMatcher
-from ahocorasick_tpu.ops import emit, scan_pfac
+
 
 
 def data_mesh(devices=None, axis: str = "data") -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
     return Mesh(devices, (axis,))
-
-
-def _shard_pad(cls: np.ndarray, n_dev: int, max_depth: int) -> Tuple[np.ndarray, int]:
-    """Pad so shards are equal and at least one halo long."""
-    n = len(cls)
-    chunk = -(-max(n, 1) // n_dev)
-    chunk = max(chunk, max_depth)
-    total = chunk * n_dev
-    return np.pad(cls, (0, total - n), constant_values=scan_pfac.PAD_CLASS), chunk
 
 
 def _right_halo(cls_local: jax.Array, max_depth: int, axis: str, n_dev: int) -> jax.Array:
@@ -102,54 +93,66 @@ def sharded_wwl_walks(
         tabs = (sc.table, sc.outrows)
         if sc.rows_flat is not None:
             tabs = tabs + (sc.rows_flat,)
-        tab_specs = tuple(P(*([None] * np.ndim(t))) for t in tabs)
+        # Cache the shard_map closure by (mesh, chunk): jax's trace cache
+        # keys on function identity, so a fresh closure per call would
+        # retrace/recompile every scan (cold compile per call through the
+        # tunnel).  The dev table cache pins it for the matcher's lifetime.
+        key = ("wwl_shard_scan", id(mesh), chunk)
+        run_scan = dev._cache.get(key)
+        if run_scan is None:
+            tab_specs = tuple(P(*([None] * np.ndim(t))) for t in tabs)
 
-        @functools.partial(
-            shard_map,
-            mesh=mesh,
-            in_specs=tab_specs + (P(axis),),
-            out_specs=(P(axis),) * 5,
-        )
-        def run_scan(*args):
-            cls_local = args[-1]
-            table, outr = args[0], args[1]
-            rows_flat = args[2] if sc.rows_flat is not None else None
-            lh = _left_halo(cls_local, d, axis, n_dev)
-            rh = _right_halo(cls_local, cw, axis, n_dev)
-            region = jnp.concatenate([lh, cls_local, rh])
-            windows = _windows_on_device(region, cw, d)
-            die, has, ms, me, mv = scan_wwl.wwl_scan_walks_all(
-                table, rows_flat, outr, windows,
-                halo=d, id_bits=sc.id_bits, depth_bits=sc.depth_bits,
-                num_classes=sc.num_classes, d=d, row_layout=sc.row_layout,
-                quotient=sc.quotient, n_keep=chunk)
-            off = lax.axis_index(axis) * cls_local.shape[0]
-            return die + off, has, ms + off, me + off, mv
+            @functools.partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=tab_specs + (P(axis),),
+                out_specs=(P(axis),) * 5,
+            )
+            def run_scan(*args):
+                cls_local = args[-1]
+                table, outr = args[0], args[1]
+                rows_flat = args[2] if sc.rows_flat is not None else None
+                lh = _left_halo(cls_local, d, axis, n_dev)
+                rh = _right_halo(cls_local, cw, axis, n_dev)
+                region = jnp.concatenate([lh, cls_local, rh])
+                windows = _windows_on_device(region, cw, d)
+                die, has, ms, me, mv = scan_wwl.wwl_scan_walks_all(
+                    table, rows_flat, outr, windows,
+                    halo=d, id_bits=sc.id_bits, depth_bits=sc.depth_bits,
+                    num_classes=sc.num_classes, d=d, row_layout=sc.row_layout,
+                    quotient=sc.quotient, n_keep=chunk)
+                off = lax.axis_index(axis) * cls_local.shape[0]
+                return die + off, has, ms + off, me + off, mv
 
+            dev._cache[key] = run_scan
         outs = run_scan(*tabs, cls_dev)
         return tuple(np.asarray(o)[:n] for o in outs)
 
     chunk = max(-(-max(n, 1) // n_dev), d + 1)
     cls_p = np.pad(cls, (0, chunk * n_dev - n), constant_values=0)
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(
-            P(None, None), P(None), P(None), P(None), P(None), P(None),
-            P(None), P(axis),
-        ),
-        out_specs=(P(axis),) * 5,
-    )
-    def run(trie, ol, ov, fl, fo, fv, ciw, cls_local):
-        halo = _right_halo(cls_local, d + 1, axis, n_dev)
-        local = jnp.concatenate([cls_local, halo])
-        die, has, ms, me, mv = scan_wwl.wwl_walks(
-            trie, ol, ov, fl, fo, fv, ciw, local, d
+    key = ("wwl_shard_walk", id(mesh), chunk)
+    run = dev._cache.get(key)
+    if run is None:
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(
+                P(None, None), P(None), P(None), P(None), P(None), P(None),
+                P(None), P(axis),
+            ),
+            out_specs=(P(axis),) * 5,
         )
-        off = lax.axis_index(axis) * cls_local.shape[0]
-        return die + off, has, ms + off, me + off, mv
+        def run(trie, ol, ov, fl, fo, fv, ciw, cls_local):
+            halo = _right_halo(cls_local, d + 1, axis, n_dev)
+            local = jnp.concatenate([cls_local, halo])
+            die, has, ms, me, mv = scan_wwl.wwl_walks(
+                trie, ol, ov, fl, fo, fv, ciw, local, d
+            )
+            off = lax.axis_index(axis) * cls_local.shape[0]
+            return die + off, has, ms + off, me + off, mv
 
+        dev._cache[key] = run
     outs = run(
         dev.trie_next, dev.own_len, dev.own_val, dev.fail_len, dev.fail_off,
         dev.fail_val, dev.class_is_word, jnp.asarray(cls_p.astype(np.int32)),
@@ -275,16 +278,26 @@ def _table_sharded_run(
                        whose arrival state ends >= 1 keyword, 0 elsewhere
                        (same contract as ``packedcount_hotstate_plane``).
     """
+    tab_dev, run, A = _table_sharded_build(
+        packed_table, halo, state_bits, mesh, mode)
+    from ahocorasick_tpu.ops import scan_batched
+
+    windows = jnp.asarray(scan_batched.chunk_classes(cls, chunk, halo, A))
+    return run(tab_dev, windows)
+
+
+def _table_sharded_build(packed_table, halo, state_bits, mesh, mode):
+    """(tab_dev, run, A): sharded table upload + jitted scan closure.
+
+    Split from ``_table_sharded_run`` so ``TableShardedScanner`` caches
+    both across calls — the scanner exists for tables at/above per-chip
+    HBM, where a per-call re-upload/retrace would dominate everything."""
     n_dev = int(mesh.devices.size)
     axis = mesh.axis_names[0]
     S, A = packed_table.shape
     rows_per = -(-S // n_dev)
     pad_rows = rows_per * n_dev - S
     tab = np.pad(np.asarray(packed_table), ((0, pad_rows), (0, 0)))
-    from ahocorasick_tpu.ops import scan_batched
-
-    windows = jnp.asarray(scan_batched.chunk_classes(
-        cls, chunk, halo, A))
     smask = jnp.uint32((1 << state_bits) - 1)
     sb = jnp.uint32(state_bits)
 
@@ -344,7 +357,7 @@ def _table_sharded_run(
 
         return body(tab, windows)
 
-    return run(tab_dev, windows)
+    return tab_dev, run, A
 
 
 def sharded_table_count(
@@ -388,6 +401,14 @@ class TableShardedScanner:
         self.mesh = mesh if mesh is not None else model_mesh()
         self.chunk = chunk
         m = self.m
+        if m.kind != "ac":
+            raise ValueError(
+                "TableShardedScanner scans plain AC automata only (the "
+                f"matcher kind {m.kind!r} needs resolution/filtering the "
+                "state-sharded path does not run); shard the corpus with "
+                "ShardedScanner instead, or pass the internal AC matcher"
+            )
+        self._built = {}  # mode -> (tab_dev, run, A)
         if scan_batched.inline_packable(m):
             pd = scan_batched.build_packed(m)
             self._table = pd.table
@@ -406,9 +427,15 @@ class TableShardedScanner:
                 "layout; no state-sharded scan applies")
 
     def _scan(self, cls: np.ndarray, mode: str):
-        return _table_sharded_run(
-            self._table, cls, self._halo, self._sb, self.mesh, self.chunk,
-            mode)
+        from ahocorasick_tpu.ops import scan_batched
+
+        if mode not in self._built:
+            self._built[mode] = _table_sharded_build(
+                self._table, self._halo, self._sb, self.mesh, mode)
+        tab_dev, run, A = self._built[mode]
+        windows = jnp.asarray(scan_batched.chunk_classes(
+            cls, self.chunk, self._halo, A))
+        return run(tab_dev, windows)
 
     def count(self, text: str) -> int:
         cls = self.matcher._classes(text)
@@ -620,7 +647,6 @@ class ShardedScanner:
             # (resolve.queue.resolve_shortest).  Matchers without a keyword
             # source (from_compiled artifacts) use the exact host cursor.
             from ahocorasick_tpu.models.matchers import _device_capable
-            from ahocorasick_tpu.resolve.queue import resolve_shortest
 
             ac = getattr(self.matcher, "_ac", None)
             if ac is not None and _device_capable(ac.compiled, "ac"):

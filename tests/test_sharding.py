@@ -327,3 +327,37 @@ def test_sharded_wwl_scan_engine_fuzz():
         want = [(a, b) for a, b, _ in
                 gold.gold_whole_word_longest(m.compiled, t)]
         assert list(zip(s.tolist(), e.tolist())) == want, (trial, kws)
+
+
+def test_table_sharded_scanner_rejects_resolved_kinds():
+    """The state-sharded scanner scans plain AC automata only: a resolved
+    kind would silently return unresolved candidates (review finding)."""
+    import pytest
+
+    from ahocorasick_tpu.models.matchers import LongestMatchSet
+    from ahocorasick_tpu.parallel import sharding
+
+    m = LongestMatchSet(["ab", "abcd"])
+    with pytest.raises(ValueError):
+        sharding.TableShardedScanner(m, sharding.model_mesh())
+
+
+def test_table_sharded_scanner_caches_build():
+    """Table upload + jit closure are cached across calls (the scanner
+    exists for >HBM tables; a per-call re-upload would dominate)."""
+    import numpy as np
+
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+    from ahocorasick_tpu.parallel import sharding
+
+    m = AhoCorasickSet(["ab", "bc"])
+    ts = sharding.TableShardedScanner(m, sharding.model_mesh())
+    text = "abcabc" * 40
+    c1 = ts.count(text)
+    built1 = {k: v for k, v in ts._built.items()}
+    c2 = ts.count(text)
+    assert c1 == c2
+    assert ts._built is not None and all(
+        ts._built[k][0] is built1[k][0] and ts._built[k][1] is built1[k][1]
+        for k in built1
+    )
