@@ -83,38 +83,6 @@ def _pair_indices(windows: jax.Array, A: int) -> jax.Array:
     return w2[:, :, 0] * A + w2[:, :, 1]  # (B, W/2)
 
 
-@functools.partial(jax.jit, static_argnames=("halo", "state_bits", "num_classes"))
-def batched2_count(
-    table: jax.Array,  # uint32[S*A*A, 2]
-    windows: jax.Array,  # int32[B, halo + C]
-    halo: int,
-    state_bits: int,
-    num_classes: int,
-) -> jax.Array:
-    A = jnp.int32(num_classes)
-    cc = _pair_indices(windows, num_classes)  # (B, P)
-    hp = halo // 2
-    state_mask = jnp.uint32((1 << state_bits) - 1)
-    AA = jnp.uint32(num_classes * num_classes)
-
-    def warm(s, c):
-        v = table[s * AA + c.astype(jnp.uint32)]
-        return v[:, 0] & state_mask, None
-
-    s0 = (windows[:, 0] * 0).astype(jnp.uint32)
-    s_h, _ = lax.scan(warm, s0, cc[:, :hp].T)
-
-    def step(carry, c):
-        s, tot = carry
-        v = table[s * AA + c.astype(jnp.uint32)]
-        pop = jax.lax.population_count(v[:, 0] >> jnp.uint32(state_bits))
-        pop = pop + jax.lax.population_count(v[:, 1])
-        return (v[:, 0] & state_mask, tot + jnp.sum(pop.astype(jnp.int32))), None
-
-    tot0 = (windows[0, 0] * 0).astype(jnp.int32)
-    (_, total), _ = lax.scan(step, (s_h, tot0), cc[:, hp:].T)
-    return total
-
 
 @functools.partial(
     jax.jit, static_argnames=("halo", "state_bits", "num_classes", "num_planes")

@@ -16,7 +16,6 @@ gather per character, so the whole match loop is one ``lax.scan``.  Used for:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -33,33 +32,6 @@ def dfa_states(dfa_next: jax.Array, cls: jax.Array, s0=0) -> jax.Array:
 
     _, states = lax.scan(step, jnp.asarray(s0, dtype=jnp.int32), cls)
     return states
-
-
-@jax.jit
-def dfa_states_batch(dfa_next: jax.Array, cls: jax.Array, s0: jax.Array) -> jax.Array:
-    """Batched arrival states: cls int32[B, N] -> int32[B, N].
-
-    One gather per step over B lanes; throughput scales with the batch.
-    """
-
-    def step(s, c):
-        s2 = dfa_next[s, c]
-        return s2, s2
-
-    _, states = lax.scan(step, s0.astype(jnp.int32), cls.T)
-    return states.T
-
-
-@jax.jit
-def dfa_count_ac(dfa_next: jax.Array, emit_count: jax.Array, cls: jax.Array) -> jax.Array:
-    """Total match count via the sequential engine (validation path)."""
-
-    def step(s, c):
-        s2 = dfa_next[s, c]
-        return s2, emit_count[s2]
-
-    _, counts = lax.scan(step, jnp.int32(0), cls)
-    return jnp.sum(counts)
 
 
 @jax.jit

@@ -105,11 +105,7 @@ def build_ranked(m: CompiledMatcher, max_entries: int = _MAX_PREFIX_ENTRIES) -> 
     )
 
 
-def pad_classes(cls: np.ndarray, max_depth: int, bucket: int = 1) -> np.ndarray:
-    cls = np.asarray(cls)
-    n = len(cls)
-    n_pad = -(-max(n, 1) // bucket) * bucket
-    return np.pad(cls, (0, n_pad - n + max_depth), constant_values=PAD_CLASS)
+from ahocorasick_tpu.ops.scan_pfac import pad_classes  # noqa: E402,F401 — ONE padding contract
 
 
 def _gram_index(cls_padded: jax.Array, n: int, k: int, A: int) -> jax.Array:
@@ -133,6 +129,10 @@ def pfac2_bitplanes(
     num_classes: int,
 ) -> jax.Array:
     """uint32[num_planes, N] match bitplanes, identical to v1's output."""
+    # Guard: k-gram entries index the A^prefix_k table; a max_depth
+    # below prefix_k would read the WRONG gram's entry and silently
+    # drop every match (production depth bucketing satisfies this).
+    assert max_depth >= prefix_k, (max_depth, prefix_k)
     n = cls_padded.shape[0] - max_depth
     k = min(prefix_k, max_depth)
     packed = prefix[_gram_index(cls_padded, n, k, num_classes)]
@@ -177,6 +177,10 @@ def pfac2_count(
     num_classes: int,
 ) -> jax.Array:
     """Total match count (empty-listener analog): scalar int64-safe int32."""
+    # Guard: k-gram entries index the A^prefix_k table; a max_depth
+    # below prefix_k would read the WRONG gram's entry and silently
+    # drop every match (production depth bucketing satisfies this).
+    assert max_depth >= prefix_k, (max_depth, prefix_k)
     n = cls_padded.shape[0] - max_depth
     k = min(prefix_k, max_depth)
     packed = prefix[_gram_index(cls_padded, n, k, num_classes)]

@@ -81,6 +81,10 @@ def stitched_states(dfa_next: jax.Array, cls_chunks: jax.Array, entry: jax.Array
 
 def stitched_scan(dfa_next: jax.Array, cls_chunks: jax.Array, s0=0) -> jax.Array:
     """Full pipeline: chunked classes (C, K) -> exact arrival states (C, K)."""
+    if cls_chunks.shape[0] == 0:
+        # Zero chunks: entry_states' concatenate would yield a length-1
+        # batch and break the vmap below; nothing to scan.
+        return jnp.zeros_like(cls_chunks, dtype=jnp.int32)
     sigma = chunk_state_maps(dfa_next, cls_chunks)
     entry = entry_states(sigma, s0)
     return stitched_states(dfa_next, cls_chunks, entry)

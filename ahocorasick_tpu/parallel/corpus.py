@@ -55,8 +55,9 @@ def scan_corpus(
     t0 = time.perf_counter()
     for i, doc in enumerate(documents):
         # UTF-16 units, matching the package's ScanStats/offset contract
-        # (astral code points count 2).
-        stats.units += len(doc.encode("utf-16-le")) // 2
+        # (astral code points count 2) — counted without materializing a
+        # 2x-size encode of the document.
+        stats.units += len(doc) + sum(1 for ch in doc if ord(ch) > 0xFFFF)
         matches = None
         err = None
         for _ in range(max_retries + 1):

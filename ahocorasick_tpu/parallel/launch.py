@@ -37,11 +37,14 @@ def initialize(
 ) -> bool:
     """Bring up ``jax.distributed`` if this looks like a multi-process job.
 
-    Returns True when distributed mode is (or already was) initialized.
-    With no explicit arguments and no coordinator environment variables
-    (``JAX_COORDINATOR_ADDRESS`` / cloud-TPU auto-detection inputs), this is
-    a no-op returning False — single-process runs need no coordinator.
-    Calling twice is safe.
+    Returns True when distributed mode is (or already was) initialized
+    IN THIS PROCESS.  With no explicit arguments and no coordinator
+    environment variables (``JAX_COORDINATOR_ADDRESS`` / cloud-TPU
+    auto-detection inputs), this is a no-op returning False — without
+    ever forcing backend bring-up (a hang hazard when the device tunnel
+    is down).  Pod environments that self-initialize multi-process state
+    outside ``jax.distributed`` should pass explicit arguments.  Calling
+    twice is safe.
     """
     import jax
 
@@ -54,7 +57,11 @@ def initialize(
         "COORDINATOR_ADDRESS"
     )
     if not explicit and not env:
-        return jax.process_count() > 1
+        # Answer WITHOUT forcing backend initialization: jax.process_count()
+        # would bring up the TPU client (and can hang when the axon tunnel
+        # is down) just to report a single-process no-op.
+        state = getattr(jax.distributed, "global_state", None)
+        return bool(state is not None and state.client is not None)
     try:
         jax.distributed.initialize(
             # A bespoke COORDINATOR_ADDRESS env var is not one of JAX's
@@ -101,6 +108,18 @@ def prepare_process_local(
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    # The unit_offset formula below (process_index * local_units) requires
+    # the mesh to order devices contiguously by ascending process index —
+    # the layout jax.devices()/global_data_mesh produce.  Verify rather
+    # than assume: a permuted mesh would scatter this host's shard to the
+    # wrong global positions and silently corrupt every match offset.
+    proc_of = [d.process_index for d in mesh.devices.flat]
+    if proc_of != sorted(proc_of):
+        raise ValueError(
+            "mesh devices are not grouped by ascending process index; "
+            "unit_offset would not match the shard placement — build the "
+            "mesh with global_data_mesh (jax.devices() order)"
+        )
     n_local_dev = len(
         [d for d in mesh.devices.flat if d.process_index == jax.process_index()]
     )
