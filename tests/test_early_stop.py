@@ -112,7 +112,9 @@ def test_adaptive_chunk_first_match_stop_scans_kib():
     seen = []
     m.match(hay, lambda t, s, e: (seen.append((s, e)), False)[1])
     assert seen == [(0, 6)]
-    assert m.last_stats.units <= (1 << 14), m.last_stats.units
+    # The chunk loop slices in code points, so an all-astral first chunk
+    # covers up to 2x the minimum in units — still KiBs, not the full text.
+    assert m.last_stats.units <= (2 << 14), m.last_stats.units
 
 
 def test_adaptive_chunk_full_scan_exact():
@@ -129,3 +131,21 @@ def test_adaptive_chunk_full_scan_exact():
     m._LISTENER_CHUNK = 1 << 14  # several ramped chunks even at this size
     m.match(text, lambda t, s, e: (got.append((s, e)), True)[1])
     assert got == [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
+
+
+def test_listener_chunk_gate_counts_utf16_units():
+    """The chunk gate measures UTF-16 units: astral code points count 2,
+    so a text over the gate in units (but under it in code points) still
+    takes the chunked early-stop path (review finding, round 4)."""
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet
+
+    m = AhoCorasickSet(["needle"], engine="device")
+    n_cp = (1 << 19) + (1 << 14)  # < 1Mi code points, > 1Mi UTF-16 units
+    hay = "needle " + "\U0001F600" * n_cp
+    assert m._listener_chunkable(hay)
+    seen = []
+    m.match(hay, lambda t, s, e: (seen.append((s, e)), False)[1])
+    assert seen == [(0, 6)]
+    # The chunk loop slices in code points, so an all-astral first chunk
+    # covers up to 2x the minimum in units — still KiBs, not the full text.
+    assert m.last_stats.units <= (2 << 14)
