@@ -53,8 +53,12 @@ def ac_kernel_rate(m, cls: np.ndarray, reps: int = 8, chunk: int = 512):
 
         return lax.fori_loop(0, reps, one, jnp.int32(0))
 
-    total = int(count_fn(plan.tables, wdev))
-    float(reps_count(plan.tables, wdev))  # compile
+    # Warmup compiles the ONE program; rolling windows only permutes the
+    # self-contained (halo + body) rows, so every rep counts identically
+    # and the per-scan total falls out of the warmup value — no separate
+    # count_fn program (a second cold TPU compile per config otherwise).
+    warm = int(reps_count(plan.tables, wdev))
+    total = warm // reps
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()

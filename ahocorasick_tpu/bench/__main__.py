@@ -69,6 +69,7 @@ def run_config(label: str, *, kind: str, is_map: bool, keywords: list,
 
     kernel_gbps = None
     projected_gbps = None
+    projected_scan_gbps = None
     if kind in ("ac", "longest", "whole_word", "shortest") and engine == "device":
         from ahocorasick_tpu.bench import ac_kernel_rate
 
@@ -84,13 +85,20 @@ def run_config(label: str, *, kind: str, is_map: bool, keywords: list,
         # unit, scan_batched.class_dtype — over PCIe, 8 GB/s conservative).
         up = _upload_bytes_per_unit(target.compiled)
         ns_per_unit = up / 8 + 2 / kernel_gbps  # upload + kernel, ns
-        projected_gbps = 2 / ns_per_unit
+        # SCAN-PATH projection (upload + kernel).  For the resolved/
+        # filtered kinds the host extract/resolve/filter step is NOT in
+        # this model, so the field is named accordingly for them; only
+        # the plain AC count path is end-to-end at this number.
+        if kind == "ac":
+            projected_gbps = 2 / ns_per_unit
+        else:
+            projected_scan_gbps = 2 / ns_per_unit
     elif kind == "whole_word_longest" and engine == "device":
         from ahocorasick_tpu.bench import wwl_kernel_rate
 
         kernel_gbps = wwl_kernel_rate(m, m._classes(text), reps=max(4, reps))
         up = _upload_bytes_per_unit(m.compiled)
-        projected_gbps = 2 / (up / 8 + 2 / kernel_gbps)
+        projected_scan_gbps = 2 / (up / 8 + 2 / kernel_gbps)
     if listener_costs:
         listener_cost_records(label, m, text, reps)
     return {
@@ -107,6 +115,8 @@ def run_config(label: str, *, kind: str, is_map: bool, keywords: list,
         "gbps": round(best.gbps, 3),
         "kernel_gbps": round(kernel_gbps, 3) if kernel_gbps is not None else None,
         "projected_gbps": round(projected_gbps, 3) if projected_gbps is not None else None,
+        "projected_scan_gbps": (round(projected_scan_gbps, 3)
+                                if projected_scan_gbps is not None else None),
         "matches_per_sec": round(best.matches_per_sec, 1),
     }
 
@@ -275,8 +285,6 @@ def scaling_bench(keywords_n: int, units: int, reps: int, seed: int) -> None:
         prepare, count, engine = sharding.make_sharded_counter(m, mesh)
         x = prepare(cls)
         int(count(x, reps=1))  # compile + correctness path
-        import jax.numpy as jnp  # noqa: F401
-
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -286,7 +294,12 @@ def scaling_bench(keywords_n: int, units: int, reps: int, seed: int) -> None:
         if rate1 is None:
             rate1 = rate
         print(json.dumps({
+            # Workload identity: --compare pairs records by these fields,
+            # so scaling runs of different workloads must not pair up.
+            "config": f"scaling-{keywords_n}kw-{units}u",
             "devices": n,
+            "keywords": keywords_n,
+            "units": units,
             "engine": engine,
             "gbps": round(rate, 3),
             "efficiency_vs_1": round(rate / (rate1 * n), 3),

@@ -42,6 +42,11 @@ SEED = 20260817
 
 
 def make_dictionary(rng: np.random.Generator, n: int) -> list:
+    # Letter-frequency-weighted on purpose and DELIBERATELY kept stable and
+    # separate from bench/__main__.english_like_keywords: the headline
+    # dictionary identity must not drift across rounds (BENCH_r01..r0N
+    # comparability), and the suite's config #2 is the same SCALE, not the
+    # same dictionary.
     letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
     freqs = np.array([8.2, 1.5, 2.8, 4.3, 12.7, 2.2, 2.0, 6.1, 7.0, 0.2, 0.8, 4.0,
                       2.4, 6.7, 7.5, 1.9, 0.1, 6.0, 6.3, 9.1, 2.8, 1.0, 2.4, 0.2,
@@ -110,8 +115,11 @@ def main() -> None:
     base = make_text_classes(m, keywords, rng, base_units)
 
     # The facade's engine pick for this dictionary is rowdfa1 (v7, stride-1
-    # row gather; docs/PERF.md).  fits1() is asserted so the table is valid.
+    # row gather; docs/PERF.md).  Assert the PICK, not just fits1(): a cost-
+    # model change must not let the headline silently time a non-production
+    # engine.
     assert scan_rowdfa.fits1(m.compiled), "10k config must fit the row engine"
+    assert scan_rowdfa.pick_engine(m.compiled) == "rowdfa1", "headline engine changed"
     rd = m.dev.row_dfa1  # uploads just this table (~6 MB)
     halo, state_bits, A = rd.halo, rd.state_bits, rd.num_classes
     assert halo <= CHUNK

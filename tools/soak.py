@@ -38,7 +38,10 @@ CLASSES = [
     (M.WholeWordLongestMatchSet, M.WholeWordLongestMatchMap),
 ]
 
-ALPHABETS = ["ab", "abc ", "abcdef -_.", "aàβ中 ", "a" * 1]
+# Uppercase variants included so cs=False trials actually exercise the
+# case-folding charmap differentially (lowercase-only alphabets make the
+# folded and unfolded scans byte-identical).
+ALPHABETS = ["ab", "abc ", "abcdef -_.", "aàβ中 ", "a" * 1, "aAbB ", "àÀâ c"]
 
 
 def roll_dict(rng: np.random.Generator):
@@ -114,7 +117,10 @@ def run_trial(rng, trial: int, use_mesh: bool) -> None:
     got_s = dev.match_stream(io.StringIO(text), chunk_units=chunk)
     assert got_s == want, ("stream", repro, chunk)
 
-    if use_mesh and dev.kind in ("ac", "longest", "shortest") and len(text):
+    if use_mesh and len(text):
+        # ALL FIVE kinds ride ShardedScanner (whole-word boundary filter and
+        # wwl walks+restart-chain stitching included — the most intricate
+        # sharded logic needs the randomized differential coverage most).
         from ahocorasick_tpu.parallel.sharding import ShardedScanner
 
         try:
@@ -123,6 +129,7 @@ def run_trial(rng, trial: int, use_mesh: bool) -> None:
             return  # row-compressed shape without a sharded path
         s, e, v = sc.match_triples(text)
         assert list(zip(s.tolist(), e.tolist())) == want, ("sharded", repro)
+        assert sc.count(text) == len(want), ("sharded-count", repro)
 
 
 def main():
