@@ -361,3 +361,20 @@ def test_table_sharded_scanner_caches_build():
         ts._built[k][0] is built1[k][0] and ts._built[k][1] is built1[k][1]
         for k in built1
     )
+
+
+def test_sharded_wwl_long_keywords_halo_widening():
+    """WWL keywords longer than the 512 base window force cw > 512 (the
+    _chunk_for widening); walks must still die/emit exactly across shard
+    edges with the widened halos."""
+    from ahocorasick_tpu.models.matchers import WholeWordLongestMatchSet
+
+    long_kw = "ab" * 300  # 600 units > 512
+    kws = [long_kw, "ab", "abab", "b"]
+    m = WholeWordLongestMatchSet(kws)
+    sc = ShardedScanner(m, data_mesh())
+    text = (" " + long_kw + " abab b ab " + long_kw[:-1] + " ") * 8
+    s, e, v = sc.match_triples(text)
+    want = [(a, b) for a, b, _ in gold.gold_whole_word_longest(m.compiled, text)]
+    assert list(zip(s.tolist(), e.tolist())) == want
+    assert len(want) > 0
