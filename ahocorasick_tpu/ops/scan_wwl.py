@@ -214,7 +214,7 @@ def wwl_walks_at(
 class WwlScan(NamedTuple):
     """Device tables for the scan-based whole-word-longest engine."""
 
-    table: np.ndarray  # uint32 packed: id | depth << id_bits | word << (id_bits + depth_bits); [Sp, Ap] row layout or flat [S_eff * A]
+    table: np.ndarray  # uint32 packed: id | depth << id_bits | word << (id_bits + depth_bits) [| cross << (id_bits + depth_bits + 1)]; [Sp, Ap] row layout or flat [S_eff * A]
     rows_flat: Optional[np.ndarray]  # int32[R * A] concrete targets (quotient only)
     outrows: np.ndarray  # int32[Sp2, 8]: own_len, own_val, fail_len, fail_off, fail_val
     id_bits: int
@@ -223,6 +223,7 @@ class WwlScan(NamedTuple):
     num_classes: int
     row_layout: bool
     quotient: bool
+    has_cross: bool = False  # mixed dictionaries: crossing-edge bit packed
 
 
 def word_uniform_trie(m) -> bool:
@@ -502,6 +503,71 @@ def _wwl_outcomes(outrows, s_last, kd, dws, pos):
     val = jnp.where(has_own, ownv, fv)
     has = has_own | has_fail
     return die_pos, has, end - length, end, val
+
+
+def host_walks_from_raw(sc: WwlScan, raw: np.ndarray, cls_p: np.ndarray,
+                        n: int):
+    """Per-position walk outcomes from a RAW packed scan plane (host numpy).
+
+    ``raw``: uint32[>= n + d + 1] packed ``(id, depth, word)`` words in flat
+    text order — the state-sharded (TP-analog) scan's "raw" mode output,
+    where the per-character row gathers ran table-sharded over the mesh and
+    only the tiny elementwise die sweep remains.  ``cls_p``: the class array
+    the plane was scanned over (length >= n + d + 1, padded with the
+    non-word class 0).  Returns the ``wwl_walks`` contract
+    ``(die_pos, has, m_start, m_end, m_val)`` for every position < ``n``;
+    output-identical to ``wwl_scan_walks_all`` (conformance-tested).
+    Reference semantics: ``WholeWordLongestMatchSet.java:65-94``.
+    """
+    d = sc.halo
+    idmask = np.uint32((1 << sc.id_bits) - 1)
+    dmask = np.uint32((1 << sc.depth_bits) - 1)
+    raw = np.asarray(raw, dtype=np.uint32)[: n + d + 1]
+    depth_p = ((raw >> np.uint32(sc.id_bits)) & dmask).astype(np.int32)
+    word_p = ((raw >> np.uint32(sc.id_bits + sc.depth_bits)) & np.uint32(1)
+              ).astype(bool)
+    ids = (raw & idmask).astype(np.int64)
+
+    # Die sweep: k_die(w) = min{k >= 0 : depth[w+k] <= k} — d+1 shifted
+    # slices of the depth plane, exactly the device sweep in ``_wwl_core``.
+    k_die = np.full(n, -1, dtype=np.int32)
+    dw = np.zeros(n, dtype=bool)
+    for k in range(d + 1):
+        newly = (k_die < 0) & (depth_p[k : k + n] <= k)
+        if newly.any():
+            k_die[newly] = k
+            dw[newly] = word_p[k : k + n][newly]
+    # Every walk dies within d+1 steps (depth <= d always).
+    assert (k_die >= 0).all()
+
+    # Pre-die state: the DFA arrival state one step before the die char
+    # (root when k_die == 0).  Quotient planes carry ROW ids; the concrete
+    # state is rows_flat[row_{i-1} * A + c_i] (ids[-1] = entry row 0: the
+    # plane starts at a halo-warmed text position whose predecessor state
+    # in PAD/left-halo context is the root row by the d-synchronization).
+    w = np.arange(n, dtype=np.int64)
+    i_pre = np.maximum(w + k_die - 1, 0)
+    if sc.quotient:
+        A = sc.num_classes
+        ids_ext = np.concatenate([np.zeros(1, dtype=np.int64), ids])
+        rows_flat = np.asarray(sc.rows_flat, dtype=np.int64)
+        s_pre = rows_flat[ids_ext[i_pre] * A + cls_p[i_pre].astype(np.int64)]
+    else:
+        s_pre = ids[i_pre]
+    s_last = np.where(k_die > 0, s_pre, 0)
+
+    orow = np.asarray(sc.outrows)[s_last]  # (n, 8)
+    own, ownv = orow[:, 0], orow[:, 1]
+    fl, fo, fv = orow[:, 2], orow[:, 3], orow[:, 4]
+    die_pos = (w + k_die).astype(np.int32)
+    has_own = (own > 0) & ~dw
+    has_fail = (fl > 0) & (dw | (own == 0))
+    end = np.where(has_own, die_pos, die_pos - fo)
+    length = np.where(has_own, own, fl)
+    val = np.where(has_own, ownv, fv)
+    has = has_own | has_fail
+    return (die_pos, has, (end - length).astype(np.int32),
+            end.astype(np.int32), val.astype(np.int32))
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -247,6 +247,19 @@ def model_mesh(devices=None, axis: str = "model") -> Mesh:
     return data_mesh(devices, axis)
 
 
+def dp_tp_mesh(devices=None, shape: Optional[Tuple[int, int]] = None,
+               axes: Tuple[str, str] = ("data", "model")) -> Mesh:
+    """2-D DP x TP mesh: text windows shard over ``data``, table rows over
+    ``model`` (SURVEY §2.2 composition — the per-character ``psum`` rides
+    only the model axis, so text replication is confined to a model group
+    instead of the whole slice)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if shape is None:
+        n = devices.size
+        shape = (2, n // 2) if n >= 4 and n % 2 == 0 else (1, n)
+    return Mesh(devices.reshape(shape), axes)
+
+
 def _table_sharded_run(
     packed_table: np.ndarray,  # uint32[S, A] packed rows
     cls: np.ndarray,
@@ -291,28 +304,56 @@ def _table_sharded_build(packed_table, halo, state_bits, mesh, mode):
 
     Split from ``_table_sharded_run`` so ``TableShardedScanner`` caches
     both across calls — the scanner exists for tables at/above per-chip
-    HBM, where a per-call re-upload/retrace would dominate everything."""
-    n_dev = int(mesh.devices.size)
-    axis = mesh.axis_names[0]
+    HBM, where a per-call re-upload/retrace would dominate everything.
+
+    Meshes: a 1-axis mesh shards table rows over that axis and replicates
+    the windows; a 2-axis ``(data, model)`` mesh additionally shards the
+    WINDOWS over the leading ``data`` axis — the DP x TP composition.  The
+    per-character combine is a ``psum`` over the model axis only, so text
+    replication is confined to each model group and the output planes come
+    back sharded over ``data`` in flat text order (windows tile the text
+    contiguously and each carries its own left halo, so data shards need no
+    halo exchange).
+
+    Modes (payload = packed bits above ``state_bits``):
+    ``count`` / ``count_packed`` / ``planes`` / ``hotstate`` — as on
+    ``_table_sharded_run``; ``raw`` — return the full packed table word at
+    EVERY position, uint32[1, N] (the whole-word-longest TP path: the die
+    sweep over the (id, depth, word) plane runs host-side,
+    ``ops.scan_wwl.host_walks_from_raw``).
+    """
+    axes = mesh.axis_names
+    if len(axes) not in (1, 2):
+        raise ValueError(f"table-sharded scan takes a 1- or 2-axis mesh, got {axes}")
+    model_axis = axes[-1]
+    data_axis = axes[0] if len(axes) == 2 else None
+    n_model = int(mesh.shape[model_axis])
     S, A = packed_table.shape
-    rows_per = -(-S // n_dev)
-    pad_rows = rows_per * n_dev - S
+    rows_per = -(-S // n_model)
+    pad_rows = rows_per * n_model - S
     tab = np.pad(np.asarray(packed_table), ((0, pad_rows), (0, 0)))
     smask = jnp.uint32((1 << state_bits) - 1)
     sb = jnp.uint32(state_bits)
 
     from jax.sharding import NamedSharding
 
-    tab_dev = jax.device_put(jnp.asarray(tab), NamedSharding(mesh, P(axis, None)))
+    tab_dev = jax.device_put(
+        jnp.asarray(tab), NamedSharding(mesh, P(model_axis, None)))
+    win_spec = P(data_axis, None) if data_axis else P(None, None)
+    if mode in ("count", "count_packed"):
+        out_spec = P()
+    else:
+        out_spec = P(None, data_axis) if data_axis else P(None, None)
 
     @jax.jit
     def run(tab, windows):
         @functools.partial(
-            shard_map, mesh=mesh, in_specs=(P(axis, None), P(None, None)),
-            out_specs=P(),
+            shard_map, mesh=mesh, in_specs=(P(model_axis, None), win_spec),
+            out_specs=out_spec,
         )
         def body(tab_local, w):
-            lo = lax.axis_index(axis).astype(jnp.uint32) * jnp.uint32(rows_per)
+            lo = (lax.axis_index(model_axis).astype(jnp.uint32)
+                  * jnp.uint32(rows_per))
 
             def gather(s, c):
                 rel = s - lo
@@ -324,7 +365,7 @@ def _table_sharded_build(packed_table, halo, state_bits, mesh, mode):
                     jnp.where(iota == c[:, None], rows, jnp.uint32(0)), axis=1
                 )
                 v = jnp.where(mine, v, jnp.uint32(0))
-                return lax.psum(v, axis)
+                return lax.psum(v, model_axis)
 
             def warm(s, c):
                 return gather(s, c) & smask, None
@@ -342,14 +383,18 @@ def _table_sharded_build(packed_table, halo, state_bits, mesh, mode):
 
                 tot0 = (w[0, 0] * 0).astype(jnp.int32)
                 (_, total), _ = lax.scan(step, (s_h, tot0), w[:, halo:].T)
+                if data_axis is not None:
+                    total = lax.psum(total, data_axis)
                 return total
 
             def step(s, c):
                 v = gather(s, c)
                 if mode == "planes":
                     out = v >> sb
-                else:  # hotstate
+                elif mode == "hotstate":
                     out = jnp.where((v >> sb) != 0, v, jnp.uint32(0))
+                else:  # raw
+                    out = v
                 return v & smask, out
 
             _, outs = lax.scan(step, s_h, w[:, halo:].T)  # (C, B)
@@ -374,23 +419,35 @@ def sharded_table_count(
 
 
 class TableShardedScanner:
-    """State-sharded (TP-analog) scanner with the FULL match surface.
+    """State-sharded (TP-analog) scanner with the FULL match surface for
+    ALL FIVE kinds.
 
     For dictionaries whose packed table exceeds per-chip HBM: the table is
-    sharded over the mesh rows and the text replicated, and — unlike the
-    round-3 count-only path — ``match_triples`` delivers every
+    sharded over the mesh rows, and ``match_triples`` delivers every
     (start, end, value) span exactly as the reference's ``match`` does at
-    any size (``AhoCorasickSet.java:193-252``).  Layouts:
+    any size — for every variant, not just plain AC
+    (``AhoCorasickSet.java:193-252``, ``LongestMatchSet.java:211-232``,
+    ``ShortestMatchSet.java:182-260``, ``WholeWordMatchSet.java:47-132``,
+    ``WholeWordLongestMatchSet.java:47-178``).  Kind decomposition — the
+    same candidates-then-resolve split the data-parallel ``ShardedScanner``
+    uses, with the candidate scan state-sharded:
 
-    * packed-inline (state_bits + max_depth <= 32, incl. quotient tables):
-      the emit-mask plane is extracted shard-locally and decoded like the
-      single-chip batched engine;
-    * hotstate (huge dictionaries where the mask overflows but the emit
-      COUNT packs): the (state, count) plane rides the same scan and the
-      host recovers emit masks from the state id (``hotstate_sparse``).
+    * ``ac`` — packed-inline emit planes, or the hotstate (state, count)
+      plane for huge dictionaries (masks recovered host-side);
+    * ``longest`` — the AC candidate scan of its own packed table + the
+      exact greedy resolve;
+    * ``shortest`` — state-shards the internal AC over the insert-surviving
+      keywords (``ShortestMatchSet._ac``) + the min-end resolve; artifacts
+      without the AC sidecar fall back to the exact host cursor;
+    * ``whole_word`` — AC candidate scan + the vectorized boundary filter;
+    * ``whole_word_longest`` — state-shards the packed wwl-scan table in
+      "raw" mode; the elementwise die sweep and the restart chain run
+      host-side (``ops.scan_wwl.host_walks_from_raw``).
 
-    AC-kind (and AC-candidate) matchers only — the same automaton the
-    data-parallel ``ShardedScanner`` scans.
+    Meshes: a 1-axis (model) mesh replicates the windows to every device; a
+    2-axis ``("data", "model")`` mesh shards windows over ``data`` and
+    table rows over ``model`` — the DP x TP composition (``dp_tp_mesh``),
+    which confines text replication to each model group.
     """
 
     def __init__(self, matcher, mesh: Optional[Mesh] = None, chunk: int = 512):
@@ -399,16 +456,42 @@ class TableShardedScanner:
         self.matcher = matcher
         self.m = matcher.compiled
         self.mesh = mesh if mesh is not None else model_mesh()
-        self.chunk = chunk
-        m = self.m
-        if m.kind != "ac":
+        if len(self.mesh.axis_names) not in (1, 2):
             raise ValueError(
-                "TableShardedScanner scans plain AC automata only (the "
-                f"matcher kind {m.kind!r} needs resolution/filtering the "
-                "state-sharded path does not run); shard the corpus with "
-                "ShardedScanner instead, or pass the internal AC matcher"
-            )
+                "TableShardedScanner takes a 1-axis (model) or 2-axis "
+                f"(data, model) mesh, got axes {self.mesh.axis_names}")
+        self.chunk = chunk
         self._built = {}  # mode -> (tab_dev, run, A)
+        self._inner = None  # shortest: TP scanner over the internal AC
+        self._wwl = None  # whole_word_longest: host WwlScan tables
+        m = self.m
+        if m.kind == "shortest":
+            ac = getattr(matcher, "_ac", None)
+            if ac is not None:
+                self._inner = TableShardedScanner(ac, self.mesh, chunk)
+                self.layout = "shortest"
+            else:
+                # from_compiled artifact without the AC sidecar: the exact
+                # host cursor is the only remaining path (same fallback as
+                # the data-parallel ShardedScanner).
+                self.layout = "host"
+            return
+        if m.kind == "whole_word_longest":
+            from ahocorasick_tpu.ops import scan_wwl
+
+            if not scan_wwl.scan_applicable(m):
+                raise ValueError(
+                    "whole-word-longest matcher has no packed scan table "
+                    "(pre-round-4 artifact without the goto closure, or an "
+                    "unpackable shape); no state-sharded path applies")
+            sc = scan_wwl.build_wwl_scan(m)
+            self._wwl = sc
+            self._table = (sc.table if sc.row_layout
+                           else sc.table.reshape(-1, sc.num_classes))
+            self._sb = sc.id_bits
+            self._halo = sc.halo
+            self.layout = "wwl"
+            return
         if scan_batched.inline_packable(m):
             pd = scan_batched.build_packed(m)
             self._table = pd.table
@@ -433,23 +516,89 @@ class TableShardedScanner:
             self._built[mode] = _table_sharded_build(
                 self._table, self._halo, self._sb, self.mesh, mode)
         tab_dev, run, A = self._built[mode]
-        windows = jnp.asarray(scan_batched.chunk_classes(
-            cls, self.chunk, self._halo, A))
-        return run(tab_dev, windows)
+        windows = scan_batched.chunk_classes(cls, self.chunk, self._halo, A)
+        if len(self.mesh.axis_names) == 2:
+            # Windows shard over the data axis: pad B up to a multiple of
+            # its size with all-PAD windows (they scan class 0 from the
+            # root — no emits; positions past the text are trimmed anyway).
+            nd = int(self.mesh.shape[self.mesh.axis_names[0]])
+            if windows.shape[0] % nd:
+                pad = nd - windows.shape[0] % nd
+                windows = np.concatenate(
+                    [windows,
+                     np.zeros((pad, windows.shape[1]), windows.dtype)])
+        return run(tab_dev, jnp.asarray(windows))
 
     def count(self, text: str) -> int:
-        cls = self.matcher._classes(text)
-        mode = "count" if self.layout == "planes" else "count_packed"
-        return int(self._scan(cls, mode))
+        if self.m.kind == "ac":
+            cls = self.matcher._classes(text)
+            mode = "count" if self.layout == "planes" else "count_packed"
+            return int(self._scan(cls, mode))
+        # Resolution / boundary filtering changes counts for the other kinds.
+        return int(len(self.match_triples(text)[0]))
 
     def match_triples(self, text: str):
         """(starts, ends, value_ids) in reference emission order."""
         from ahocorasick_tpu.ops import scan_batched
 
+        m = self.m
+        if self.layout == "host":
+            from ahocorasick_tpu.core.stream import make_cursor
+
+            trip = make_cursor(m).feed(self.matcher._classes(text),
+                                       is_final=True)
+            return _triples_from_list(trip)
+        if self.layout == "shortest":
+            from ahocorasick_tpu.resolve.queue import resolve_shortest
+
+            # The inner scanner computes classes from its OWN charmap, so no
+            # class remap is needed; positions are shared (same UTF-16 text).
+            return resolve_shortest(*self._inner.match_triples(text))
         cls = self.matcher._classes(text)
+        if self.layout == "wwl":
+            from ahocorasick_tpu.ops import scan_wwl
+            from ahocorasick_tpu.resolve.wholeword import (
+                follow_chain, word_starts,
+            )
+
+            n = len(cls)
+            if n == 0:
+                return _triples_from_list([])
+            sc = self._wwl
+            d = sc.halo
+            # The die sweep reads d+1 positions past each start: pad so the
+            # raw plane covers them (PAD class 0 = non-word dead end).
+            cls_p = np.pad(cls, (0, d + 1))
+            raw = np.asarray(self._scan(cls_p, "raw"))[0]
+            die, has, ms, me, mv = scan_wwl.host_walks_from_raw(
+                sc, raw, cls_p, n)
+            is_word = np.asarray(m.class_is_word)[cls]
+            trip = follow_chain(die, has, ms, me, mv, word_starts(is_word), n)
+            return _triples_from_list(trip)
         bits = self._scan(cls, self.layout)
-        return scan_batched.ac_matches_batched(
-            self.m, cls, np.asarray(bits), layout=self.layout)
+        triples = scan_batched.ac_matches_batched(
+            m, cls, np.asarray(bits), layout=self.layout)
+        if m.kind == "longest":
+            from ahocorasick_tpu.resolve.queue import resolve_longest
+
+            return resolve_longest(*triples)
+        if m.kind == "whole_word":
+            starts, ends, vals = triples
+            is_word = np.asarray(m.class_is_word)[cls]
+            n = len(cls)
+            left_ok = (starts == 0) | ~is_word[np.maximum(starts - 1, 0)]
+            right_ok = (ends == n) | ~is_word[np.minimum(ends, n - 1)]
+            keep = left_ok & right_ok
+            return starts[keep], ends[keep], vals[keep]
+        return triples
+
+
+def _triples_from_list(trip):
+    if not trip:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    a = np.asarray(trip, dtype=np.int64)
+    return a[:, 0], a[:, 1], a[:, 2]
 
 
 def make_sharded_counter(matcher, mesh: Mesh, chunk: int = 512):
@@ -637,9 +786,22 @@ class ShardedScanner:
             return len(self.match_triples(text)[0])
         raise AssertionError(f"unhandled kind {m.kind!r}")  # all 5 return above
 
+    def stream(self) -> "ShardedStream":
+        """Streaming cursor whose per-chunk scans run on the mesh (AC kind:
+        the d-synchronizing tail carry, ``AhoCorasickMap.java:208-275``)."""
+        if self.matcher.compiled.kind != "ac":
+            raise ValueError(
+                "sharded streaming carries the AC tail invariant; use the "
+                "matcher's own stream() for the resolved/filtered kinds")
+        return ShardedStream(self)
+
     def match_triples(self, text: str):
+        return self.match_triples_classes(self.matcher._classes(text))
+
+    def match_triples_classes(self, cls: np.ndarray):
+        """``match_triples`` over a precomputed class array (the sharded
+        streaming cursor's entry point: feeds arrive as [tail | chunk])."""
         m = self.matcher.compiled
-        cls = self.matcher._classes(text)
         if m.kind == "shortest":
             # Candidates-then-resolve: shard-scan the internal AC automaton
             # over the insert-surviving keywords with the standard batched
@@ -657,9 +819,10 @@ class ShardedScanner:
                 )
 
                 # The internal AC sees the same UTF-16 unit count (classes
-                # differ, positions don't), so the shard cuts follow the
-                # INNER scanner's planes chunk.
-                inner_trip = self._inner.match_triples(text)
+                # differ, positions don't — matcher._ac_classes remaps), so
+                # the shard cuts follow the INNER scanner's planes chunk.
+                inner_trip = self._inner.match_triples_classes(
+                    self.matcher._ac_classes(cls))
                 if self._inner._planes is not None:
                     inner_chunk = self._inner._planes[2]
                 else:  # host-cursor path: boundaries are irrelevant
@@ -726,3 +889,48 @@ class ShardedScanner:
             keep = left_ok & right_ok
             return starts[keep], ends[keep], vals[keep]
         return triples
+
+
+class ShardedStream:
+    """Streaming cursor whose per-chunk scans run data-parallel on the mesh.
+
+    The same d-synchronizing tail-carry invariant as the single-chip cursor
+    (``core/stream._DfaCursor``; reference stream carry
+    ``AhoCorasickMap.java:208-275``): the last ``max_depth`` classes replay
+    as the next feed's left context, and candidates ending inside the tail
+    region (already delivered last feed) are dropped — so an unbounded
+    stream scans chunk-at-a-time at the mesh's full data-parallel width,
+    with exact global offsets at any chunking.
+    """
+
+    def __init__(self, scanner: ShardedScanner):
+        self.scanner = scanner
+        m = scanner.matcher.compiled
+        self.halo = max(m.max_depth, 1)
+        self.tail = np.zeros(0, dtype=np.int32)
+        self.off = 0  # global index of the next unit
+
+    def feed(self, text: str, is_final: bool = False):
+        """New matches this feed as GLOBAL (starts, ends, value_ids)."""
+        cls = self.scanner.matcher._classes(text)
+        if len(cls) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z.copy(), z.copy()
+        buf = np.concatenate([self.tail, cls]) if len(self.tail) else cls
+        off0 = self.off - len(self.tail)
+        starts, ends, vals = self.scanner.match_triples_classes(buf)
+        keep_after = self.off - off0
+        if keep_after > 0:
+            keep = ends > keep_after
+            starts, ends, vals = starts[keep], ends[keep], vals[keep]
+        self.off += len(cls)
+        keep_tail = min(len(buf), self.halo)
+        self.tail = np.asarray(buf[len(buf) - keep_tail:], dtype=np.int32)
+        return starts + off0, ends + off0, vals
+
+    def state_dict(self) -> dict:
+        return {"tail": self.tail.tolist(), "off": int(self.off)}
+
+    def load_state_dict(self, d: dict) -> None:
+        self.tail = np.asarray(d["tail"], dtype=np.int32)
+        self.off = int(d["off"])

@@ -329,15 +329,188 @@ def test_sharded_wwl_scan_engine_fuzz():
         assert list(zip(s.tolist(), e.tolist())) == want, (trial, kws)
 
 
-def test_table_sharded_scanner_rejects_resolved_kinds():
-    """The state-sharded scanner scans plain AC automata only: a resolved
-    kind would silently return unresolved candidates (review finding)."""
-    import pytest
-
+def test_table_sharded_longest():
+    """TP-analog longest (round-5): the state-sharded candidate scan feeds
+    the exact greedy resolve — full match surface at any dictionary size,
+    matching ``LongestMatchSet.java:211-232``."""
     from ahocorasick_tpu.models.matchers import LongestMatchSet
     from ahocorasick_tpu.parallel import sharding
 
-    m = LongestMatchSet(["ab", "abcd"])
+    rng = random.Random(51)
+    m = LongestMatchSet(["ab", "abc", "bc", "c"], engine="gold")
+    text = _random_text(rng, 2500, "abc")
+    ts = sharding.TableShardedScanner(m, sharding.model_mesh())
+    s, e, v = ts.match_triples(text)
+    want = [(a, b) for a, b, _ in gold.gold_longest(m.compiled, text)]
+    assert list(zip(s.tolist(), e.tolist())) == want
+    assert ts.count(text) == len(want) > 0
+
+
+def test_table_sharded_longest_hotstate():
+    """TP-analog longest over the hotstate layout (emit mask overflows the
+    packed-inline word — the huge-dictionary shape the TP path exists for)."""
+    from ahocorasick_tpu.models.matchers import LongestMatchSet
+    from ahocorasick_tpu.ops import scan_batched
+    from ahocorasick_tpu.parallel import sharding
+
+    kws = ["a" * i for i in range(1, 80)] + ["ab", "ba", "bb"]
+    m = LongestMatchSet(kws, engine="gold")
+    assert scan_batched.hotstate_layout(m.compiled)
+    ts = sharding.TableShardedScanner(m, sharding.model_mesh())
+    assert ts.layout == "hotstate"
+    rng = random.Random(52)
+    text = _random_text(rng, 4000, "ab")
+    s, e, v = ts.match_triples(text)
+    want = [(a, b) for a, b, _ in gold.gold_longest(m.compiled, text)]
+    assert list(zip(s.tolist(), e.tolist())) == want
+    assert len(want) > 0
+
+
+def test_table_sharded_shortest_map():
+    """TP-analog shortest: the internal insert-survivors AC is state-sharded
+    and the min-end resolve runs host-side (``ShortestMatchSet.java:182-260``);
+    map values ride through."""
+    from ahocorasick_tpu.models.matchers import ShortestMatchMap
+    from ahocorasick_tpu.parallel import sharding
+
+    m = ShortestMatchMap(["she", "he", "hers", "abab"], [1, 2, 3, 4],
+                         engine="gold")
+    text = "ushers abababab heshe xx " * 13
+    ts = sharding.TableShardedScanner(m, sharding.model_mesh())
+    assert ts.layout == "shortest"
+    s, e, v = ts.match_triples(text)
+    want = [(a, b, c) for a, b, c in
+            zip(*[x.tolist() for x in m.match_triples(text)])]
+    assert list(zip(s.tolist(), e.tolist(), v.tolist())) == want
+    assert ts.count(text) == len(want) > 0
+
+
+def test_table_sharded_whole_word():
+    """TP-analog whole-word: state-sharded AC candidates + the vectorized
+    boundary filter (``WholeWordMatchSet.java:47-132``)."""
+    from ahocorasick_tpu.models.matchers import WholeWordMatchSet
+    from ahocorasick_tpu.parallel import sharding
+
+    rng = random.Random(53)
+    m = WholeWordMatchSet(["ab", "a", "bab"], engine="gold")
+    text = _random_text(rng, 2500, "ab !")
+    ts = sharding.TableShardedScanner(m, sharding.model_mesh())
+    s, e, v = ts.match_triples(text)
+    want = [(a, b) for a, b, _ in gold.gold_whole_word(m.compiled, text)]
+    assert list(zip(s.tolist(), e.tolist())) == want
+    assert ts.count(text) == len(want) > 0
+
+
+def test_table_sharded_wwl():
+    """TP-analog whole-word-longest: the packed wwl-scan table state-shards
+    in raw mode; die sweep + restart chain run host-side
+    (``WholeWordLongestMatchSet.java:47-178``)."""
+    from ahocorasick_tpu.models.matchers import WholeWordLongestMatchSet
+    from ahocorasick_tpu.parallel import sharding
+
+    rng = random.Random(54)
+    m = WholeWordLongestMatchSet(["a", "ab", "ba", "aab"], engine="gold")
+    text = _random_text(rng, 2500, "ab !")
+    ts = sharding.TableShardedScanner(m, sharding.model_mesh())
+    assert ts.layout == "wwl"
+    s, e, v = ts.match_triples(text)
+    want = [(a, b) for a, b, _ in
+            gold.gold_whole_word_longest(m.compiled, text)]
+    assert list(zip(s.tolist(), e.tolist())) == want
+    assert ts.count(text) == len(want) > 0
+
+
+def test_table_sharded_wwl_quotient():
+    """TP-analog WWL over a row-compressed (quotient) scan table."""
+    from ahocorasick_tpu.models.matchers import WholeWordLongestMatchSet
+    from ahocorasick_tpu.parallel import sharding
+
+    class _NeverDense:
+        def is_over_threshold(self, size, lo, hi):
+            return False
+
+    kws = [chr(c) for c in range(97, 123)] + ["ab", "ba"]
+    m = WholeWordLongestMatchSet(kws, thresholder=_NeverDense())
+    assert m.compiled.is_row_compressed
+    ts = sharding.TableShardedScanner(m, sharding.model_mesh())
+    assert ts._wwl.quotient
+    rng = random.Random(55)
+    text = _random_text(rng, 2500, "ab x!")
+    s, e, v = ts.match_triples(text)
+    want = [(a, b) for a, b, _ in
+            gold.gold_whole_word_longest(m.compiled, text)]
+    assert list(zip(s.tolist(), e.tolist())) == want
+    assert len(want) > 0
+
+
+def test_table_sharded_dp_tp_2d_mesh():
+    """DP x TP composition on a 2x4 mesh: windows shard over ``data``, table
+    rows over ``model``; per-char psum rides only the model axis.  Count and
+    triples gold-exact for AC and a resolved kind (SURVEY §2.2 composition)."""
+    from ahocorasick_tpu.models.matchers import (
+        AhoCorasickSet, WholeWordLongestMatchSet,
+    )
+    from ahocorasick_tpu.parallel import sharding
+
+    mesh2 = sharding.dp_tp_mesh()
+    assert mesh2.axis_names == ("data", "model")
+    assert mesh2.devices.shape == (2, 4)
+    rng = random.Random(56)
+
+    m = AhoCorasickSet(["ab", "abc", "bcd", "dd"], engine="gold")
+    text = _random_text(rng, 4000, "abcd")
+    ts = sharding.TableShardedScanner(m, mesh2)
+    s, e, v = ts.match_triples(text)
+    want = [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
+    assert list(zip(s.tolist(), e.tolist())) == want
+    assert ts.count(text) == len(want) > 0
+
+    m = WholeWordLongestMatchSet(["a", "ab", "ba", "aab"], engine="gold")
+    text = _random_text(rng, 2500, "ab !")
+    ts = sharding.TableShardedScanner(m, mesh2)
+    s, e, v = ts.match_triples(text)
+    want = [(a, b) for a, b, _ in
+            gold.gold_whole_word_longest(m.compiled, text)]
+    assert list(zip(s.tolist(), e.tolist())) == want
+
+
+def test_sharded_stream_chunked_feeds():
+    """Streaming cursor over the data-parallel mesh scan: uneven chunked
+    feeds equal the one-shot match list at global offsets (the reference's
+    stream carry, ``AhoCorasickMap.java:208-275``, at mesh scale), and the
+    JSON-safe cursor resumes mid-stream."""
+    rng = random.Random(57)
+    m = act.AhoCorasickSet(["ab", "abc", "bcd", "dd"], engine="device")
+    sc = ShardedScanner(m, data_mesh())
+    text = _random_text(rng, 5000, "abcd ")
+    want = [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
+
+    st = sc.stream()
+    got = []
+    cuts = [0, 1203, 2011, 3999, len(text)]
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        s, e, v = st.feed(text[a:b], is_final=(b == len(text)))
+        got += list(zip(s.tolist(), e.tolist()))
+    assert got == want and len(want) > 0
+
+    st2 = sc.stream()
+    s, e, v = st2.feed(text[:2500])
+    got2 = list(zip(s.tolist(), e.tolist()))
+    st3 = sc.stream()
+    st3.load_state_dict(st2.state_dict())
+    s, e, v = st3.feed(text[2500:], is_final=True)
+    got2 += list(zip(s.tolist(), e.tolist()))
+    assert got2 == want
+
+
+def test_table_sharded_scanner_rejects_mixed_wwl():
+    """Separator-spanning WWL dictionaries have no packed scan table (no
+    goto closure compiled); the TP scanner must refuse, not silently return
+    wrong spans."""
+    from ahocorasick_tpu.models.matchers import WholeWordLongestMatchSet
+    from ahocorasick_tpu.parallel import sharding
+
+    m = WholeWordLongestMatchSet(["New York", "york"])
     with pytest.raises(ValueError):
         sharding.TableShardedScanner(m, sharding.model_mesh())
 
