@@ -88,24 +88,42 @@ def wwl_kernel_rate(m, cls: np.ndarray, reps: int = 8):
     # shared with WholeWordLongestMatchSet._device_triples.
     cls_p, starts, lanes, ws, d = _wwl_compact_lanes(m.compiled, cls)
 
-    if scan_wwl.scan_applicable(m.compiled):
+    pure = scan_wwl.scan_applicable(m.compiled)
+    if pure or scan_wwl.mixed_scan_applicable(m.compiled):
         reps = max(reps, -(-(64 << 20) // max(len(cls), 1)))
-        sc = m.dev.wwl_scan
-        windows = scan_batched.chunk_classes(cls_p, 512, d,
-                                             m.compiled.num_classes)
+        sc = m.dev.wwl_scan if pure else m.dev.wwl_scan_mixed
+        # Time the PRODUCTION pick (scan_walks_auto's switch): the fused-
+        # carry kernel when applicable, else the plane-sweep kernel.
+        fused = scan_wwl.FUSED_DEFAULT and scan_wwl.fused_applicable(sc, d)
+        if fused:
+            windows = scan_wwl.chunk_classes_overlap(
+                cls_p, 512, d, d + 1, m.compiled.num_classes)
+        else:
+            windows = scan_batched.chunk_classes(cls_p, 512, d,
+                                                 m.compiled.num_classes)
         wdev = jax.device_put(jnp.asarray(windows))
         sdev = jax.device_put(jnp.asarray(starts))
 
         @jax.jit
         def reps_scan(w, st):
             def one(i, tot):
-                _, has, _, _, _ = scan_wwl.wwl_scan_walks(
-                    sc.table, sc.rows_flat, sc.outrows,
-                    jnp.roll(w, i, axis=0), st,
-                    halo=d, id_bits=sc.id_bits, depth_bits=sc.depth_bits,
-                    num_classes=sc.num_classes, d=d,
-                    row_layout=sc.row_layout, quotient=sc.quotient)
-                return tot + jnp.sum(has.astype(jnp.int32))
+                if fused:
+                    outs = scan_wwl.wwl_scan_walks_fused(
+                        sc.table, sc.outrows, jnp.roll(w, i, axis=0), st,
+                        halo=d, id_bits=sc.id_bits,
+                        depth_bits=sc.depth_bits,
+                        num_classes=sc.num_classes, d=d,
+                        row_layout=sc.row_layout, cross=not pure)
+                else:
+                    outs = scan_wwl.wwl_scan_walks(
+                        sc.table, sc.rows_flat, sc.outrows,
+                        jnp.roll(w, i, axis=0), st,
+                        halo=d, id_bits=sc.id_bits,
+                        depth_bits=sc.depth_bits,
+                        num_classes=sc.num_classes, d=d,
+                        row_layout=sc.row_layout, quotient=sc.quotient,
+                        cross=not pure)
+                return tot + jnp.sum(outs[1].astype(jnp.int32))
 
             return lax.fori_loop(0, reps, one, jnp.int32(0))
 

@@ -243,6 +243,20 @@ def baseline_suite(full: bool, reps: int, seed: int) -> None:
         print(json.dumps({"config": "baseline-5-1m-keywords",
                           "skipped": "pass --full (compile ~1 min, large upload)"}))
 
+    # 7: separator-spanning whole-word-longest ("New York"-style phrases
+    # among pure words, custom word chars) — round 5: the truncated-closure
+    # scan engine + sparse host continuations; previously these dropped to
+    # the ~0.03 GB/s per-start walk engines
+    # (WholeWordLongestMatchSet.java:47-178).
+    base7 = english_like_keywords(rng, 950)
+    phrases = [f"{a} {b}" for a, b in zip(base7[:50], base7[50:100])]
+    kws7 = base7 + phrases
+    text7 = word_soup(rng, kws7, 1 << 20)
+    print(json.dumps(run_config(
+        "baseline-7-wwl-mixed", kind="whole_word_longest", is_map=False,
+        keywords=kws7, case_sensitive=True, text=text7, reps=reps,
+        word_chars=wc)))
+
     # 6: wide-alphabet full-node (the reference testFullNode extreme,
     # SetTest.java:73-79): ~54Ki single-char keywords compile to a
     # row-compressed automaton; the device path scans the packed QUOTIENT

@@ -723,17 +723,22 @@ class _WwlCursor:
             # every queried walk start is an in-buffer word start whose
             # word run begins in-buffer, so the root-started scan's depth
             # plane equals the sequential one at all gathered positions.
-            from ahocorasick_tpu.ops import scan_batched
-
-            sc = self.dev.wwl_scan
-            windows = scan_batched.chunk_classes(buf_p, 512, d, m.num_classes)
-            die, has, ms, me, mv = scan_wwl.wwl_scan_walks(
-                sc.table, sc.rows_flat, sc.outrows,
-                jnp.asarray(windows), jnp.asarray(starts),
-                halo=d, id_bits=sc.id_bits, depth_bits=sc.depth_bits,
-                num_classes=sc.num_classes, d=d, row_layout=sc.row_layout,
-                quotient=sc.quotient,
-            )
+            die, has, ms, me, mv = scan_wwl.scan_walks_auto(
+                self.dev.wwl_scan, buf_p, starts, d, cross=False)
+        elif scan_wwl.mixed_scan_applicable(m):
+            # Truncated-closure scan for separator-spanning dictionaries;
+            # crossing walks re-run on the sparse host walker below (their
+            # padded-region die positions fall to the undecided check like
+            # every other walk, so mid-stream exactness is preserved).
+            outs = scan_wwl.scan_walks_auto(
+                self.dev.wwl_scan_mixed, buf_p, starts, d, cross=True)
+            die, has, ms, me, mv = (np.array(np.asarray(x))
+                                    for x in outs[:5])
+            cont_idx = np.nonzero(np.asarray(outs[5])[: len(lanes)])[0]
+            if len(cont_idx):
+                fix = scan_wwl.host_walks_at(m, buf_p, lanes[cont_idx], d)
+                for arr, f in zip((die, has, ms, me, mv), fix):
+                    arr[cont_idx] = f
         else:
             die, has, ms, me, mv = scan_wwl.wwl_walks_at(
                 self.dev.trie_next, self.dev.own_len, self.dev.own_val,
@@ -961,9 +966,17 @@ def make_cursor(m: CompiledMatcher, dev=None, engine: str = "auto", ac=None):
         )
         if (want_device and m.kind == WHOLE_WORD and m.dfa_next is not None):
             return _WwCursor(m, dev, engine)
-        if (want_device and m.kind == WHOLE_WORD_LONGEST and dev is not None
-                and not m.is_row_compressed):
-            return _WwlCursor(m, dev, engine)
+        if want_device and m.kind == WHOLE_WORD_LONGEST and dev is not None:
+            if not m.is_row_compressed:
+                return _WwlCursor(m, dev, engine)
+            from ahocorasick_tpu.ops import scan_wwl
+
+            # Row-compressed: only the scan engines apply (the walk-engine
+            # fallback needs dense trie tables) — uniform (quotient) or
+            # mixed truncated-closure.
+            if (scan_wwl.scan_applicable(m)
+                    or scan_wwl.mixed_scan_applicable(m)):
+                return _WwlCursor(m, dev, engine)
     return _WordCursor(m)
 
 

@@ -69,12 +69,14 @@ def _device_capable(compiled: CompiledMatcher, kind: str) -> bool:
     if kind == SHORTEST:
         return True  # delegated: internal AC matcher or host cursor
     if kind == WHOLE_WORD_LONGEST:
-        # Row-compressed WWL rides the scan-based walk engine (quotient DFA
-        # + depth plane) when the trie is word-uniform; separator-spanning
-        # row-compressed dictionaries keep the host walk.
+        # Row-compressed WWL rides the scan-based walk engine: quotient DFA
+        # + depth plane when the trie is word-uniform, or the truncated-
+        # closure variant + sparse host continuations for separator-
+        # spanning dictionaries (round 5; previously host-only).
         from ahocorasick_tpu.ops import scan_wwl
 
-        return scan_wwl.scan_applicable(compiled)
+        return (scan_wwl.scan_applicable(compiled)
+                or scan_wwl.mixed_scan_applicable(compiled))
     return kind in (AC, LONGEST, WHOLE_WORD) and scan_batched.quotient_packable(
         compiled
     )
@@ -263,6 +265,33 @@ class _DeviceTables:
                 outrows=jnp.asarray(sc.outrows),
             )
         return cache["wwl_scan"]
+
+    @property
+    def wwl_scan_mixed(self):
+        """Truncated-closure scan tables for separator-spanning WWL
+        dictionaries (lazy; ``ops/scan_wwl.build_wwl_scan_mixed``).  The
+        host copy stays cached too (``wwl_scan_mixed_host``): the sparse
+        continuation fixes and the sharded/TP host sweeps read it."""
+        cache = self.__dict__["_cache"]
+        if "wwl_scan_mixed" not in cache:
+            import jax.numpy as jnp
+
+            from ahocorasick_tpu.ops import scan_wwl
+
+            sc = scan_wwl.build_wwl_scan_mixed(self._m)
+            cache["wwl_scan_mixed_host"] = sc
+            cache["wwl_scan_mixed"] = sc._replace(
+                table=jnp.asarray(sc.table),
+                rows_flat=None if sc.rows_flat is None
+                else jnp.asarray(sc.rows_flat),
+                outrows=jnp.asarray(sc.outrows),
+            )
+        return cache["wwl_scan_mixed"]
+
+    @property
+    def wwl_scan_mixed_host(self):
+        self.wwl_scan_mixed  # ensure built
+        return self.__dict__["_cache"]["wwl_scan_mixed_host"]
 
     @property
     def split_dfa(self):
@@ -1055,15 +1084,31 @@ class WholeWordLongestMatchSet(_Matcher):
             # Scan-based engine: ONE batched DFA gather per character decides
             # every walk (die position from the arrival-state depth plane) —
             # the fast path for pure-word-char dictionaries, including
-            # row-compressed (quotient) ones.
+            # row-compressed (quotient) ones.  The chooser picks the fused-
+            # carry kernel when applicable (measured v5e A/B, docs/PERF.md).
             sc = self.dev.wwl_scan
-            windows = scan_batched.chunk_classes(cls_p, 512, d, m.num_classes)
-            die_c, has_c, ms_c, me_c, mv_c = scan_wwl.wwl_scan_walks(
-                sc.table, sc.rows_flat, sc.outrows,
-                jnp.asarray(windows), jnp.asarray(starts),
-                halo=d, id_bits=sc.id_bits, depth_bits=sc.depth_bits,
-                num_classes=sc.num_classes, d=d, row_layout=sc.row_layout,
-                quotient=sc.quotient)
+            die_c, has_c, ms_c, me_c, mv_c = scan_wwl.scan_walks_auto(
+                sc, cls_p, starts, d, cross=False)
+            return self._chain_from_lanes(
+                die_c, has_c, ms_c, me_c, mv_c, lanes, ws, n)
+        if scan_wwl.mixed_scan_applicable(m):
+            # Separator-spanning dictionaries ("New York"): scan the
+            # truncated word-uniform sub-trie closure (same one-gather-per-
+            # char engine), then re-run only the walks whose die char hit a
+            # crossing edge on the sparse host walker — typically a handful
+            # per Mi (occurrences of a mixed keyword's uniform prefix).
+            # Covers row-compressed mixed dictionaries too (previously
+            # host-only; WholeWordLongestMatchSet.java:47-178).
+            sc = self.dev.wwl_scan_mixed
+            outs = scan_wwl.scan_walks_auto(sc, cls_p, starts, d, cross=True)
+            die_c, has_c, ms_c, me_c, mv_c = (
+                np.array(np.asarray(x)) for x in outs[:5])
+            W = len(lanes)
+            cont_idx = np.nonzero(np.asarray(outs[5])[:W])[0]
+            if len(cont_idx):
+                fix = scan_wwl.host_walks_at(m, cls_p, lanes[cont_idx], d)
+                for arr, f in zip((die_c, has_c, ms_c, me_c, mv_c), fix):
+                    arr[cont_idx] = f
             return self._chain_from_lanes(
                 die_c, has_c, ms_c, me_c, mv_c, lanes, ws, n)
         tables = (

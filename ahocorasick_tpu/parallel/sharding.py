@@ -62,9 +62,12 @@ def sharded_wwl_walks(
     (``ops/scan_wwl.wwl_walks``), so the only cross-device dependency is a
     right halo exchanged over ICI; the last shard's halo arrives as zeros —
     exactly the non-word pad class the single-chip path uses.  Outcomes are
-    returned in global coordinates; the sequential restart chain is followed
-    host-side (``resolve/wholeword.follow_chain``), mirroring the reference
-    loop ``WholeWordLongestMatchSet.java:47-178``.
+    returned in global coordinates as ``(die, has, ms, me, mv, cont)``;
+    ``cont`` is None except on the truncated-closure (mixed-dictionary)
+    scan, where True flags positions whose walk needs the full-trie host
+    continuation (``scan_wwl.host_walks_at``).  The sequential restart
+    chain is followed host-side (``resolve/wholeword.follow_chain``),
+    mirroring the reference loop ``WholeWordLongestMatchSet.java:47-178``.
     """
     from ahocorasick_tpu.ops import scan_wwl
 
@@ -76,14 +79,17 @@ def sharded_wwl_walks(
     d = scan_wwl.bucket_depth(m.max_depth)  # bucketed like single-chip
     n = len(cls)
 
-    if scan_wwl.scan_applicable(m):
+    pure = scan_wwl.scan_applicable(m)
+    if pure or scan_wwl.mixed_scan_applicable(m):
         # Scan-based engine per shard (one DFA gather/char): a LEFT halo of
         # ``d`` classes makes the depth plane exact at every local position
         # (trie-prefix suffixes are <= d long — the same d-synchronization
-        # as the AC engines), and a RIGHT halo of ``cw >= d+1`` covers
-        # walks dying past the shard edge.  Also the ONLY sharded WWL path
-        # for row-compressed (quotient) dictionaries.
-        sc = dev.wwl_scan
+        # as the AC engines; the truncated closure satisfies the same
+        # argument), and a RIGHT halo of ``cw >= d+1`` covers walks dying
+        # past the shard edge.  Also the ONLY sharded WWL path for
+        # row-compressed dictionaries — uniform (quotient) or mixed.
+        sc = dev.wwl_scan if pure else dev.wwl_scan_mixed
+        n_out = 5 if pure else 6
         cw = _chunk_for(d + 1, 512)
         chunk = -(-max(n, 1) // (n_dev * cw)) * cw
         cls_p = np.pad(cls, (0, chunk * n_dev - n), constant_values=0)
@@ -97,7 +103,7 @@ def sharded_wwl_walks(
         # keys on function identity, so a fresh closure per call would
         # retrace/recompile every scan (cold compile per call through the
         # tunnel).  The dev table cache pins it for the matcher's lifetime.
-        key = ("wwl_shard_scan", id(mesh), chunk)
+        key = ("wwl_shard_scan", pure, id(mesh), chunk)
         run_scan = dev._cache.get(key)
         if run_scan is None:
             tab_specs = tuple(P(*([None] * np.ndim(t))) for t in tabs)
@@ -106,7 +112,7 @@ def sharded_wwl_walks(
                 shard_map,
                 mesh=mesh,
                 in_specs=tab_specs + (P(axis),),
-                out_specs=(P(axis),) * 5,
+                out_specs=(P(axis),) * n_out,
             )
             def run_scan(*args):
                 cls_local = args[-1]
@@ -116,17 +122,24 @@ def sharded_wwl_walks(
                 rh = _right_halo(cls_local, cw, axis, n_dev)
                 region = jnp.concatenate([lh, cls_local, rh])
                 windows = _windows_on_device(region, cw, d)
-                die, has, ms, me, mv = scan_wwl.wwl_scan_walks_all(
+                outs = scan_wwl.wwl_scan_walks_all(
                     table, rows_flat, outr, windows,
                     halo=d, id_bits=sc.id_bits, depth_bits=sc.depth_bits,
                     num_classes=sc.num_classes, d=d, row_layout=sc.row_layout,
-                    quotient=sc.quotient, n_keep=chunk)
+                    quotient=sc.quotient, n_keep=chunk, cross=not pure)
+                die, has, ms, me, mv = outs[:5]
                 off = lax.axis_index(axis) * cls_local.shape[0]
-                return die + off, has, ms + off, me + off, mv
+                res = (die + off, has, ms + off, me + off, mv)
+                if not pure:
+                    res = res + (outs[5],)
+                return res
 
             dev._cache[key] = run_scan
         outs = run_scan(*tabs, cls_dev)
-        return tuple(np.asarray(o)[:n] for o in outs)
+        outs = tuple(np.asarray(o)[:n] for o in outs)
+        if pure:
+            return outs + (None,)
+        return outs
 
     chunk = max(-(-max(n, 1) // n_dev), d + 1)
     cls_p = np.pad(cls, (0, chunk * n_dev - n), constant_values=0)
@@ -157,7 +170,7 @@ def sharded_wwl_walks(
         dev.trie_next, dev.own_len, dev.own_val, dev.fail_len, dev.fail_off,
         dev.fail_val, dev.class_is_word, jnp.asarray(cls_p.astype(np.int32)),
     )
-    return tuple(np.asarray(o)[:n] for o in outs)
+    return tuple(np.asarray(o)[:n] for o in outs) + (None,)
 
 
 def _left_halo(cls_local: jax.Array, halo: int, axis: str, n_dev: int) -> jax.Array:
@@ -479,12 +492,16 @@ class TableShardedScanner:
         if m.kind == "whole_word_longest":
             from ahocorasick_tpu.ops import scan_wwl
 
-            if not scan_wwl.scan_applicable(m):
+            if scan_wwl.scan_applicable(m):
+                sc = scan_wwl.build_wwl_scan(m)
+            elif scan_wwl.mixed_scan_applicable(m):
+                # Separator-spanning dictionary: truncated-closure tables;
+                # crossing walks re-run on the sparse host walker.
+                sc = scan_wwl.build_wwl_scan_mixed(m)
+            else:
                 raise ValueError(
                     "whole-word-longest matcher has no packed scan table "
-                    "(pre-round-4 artifact without the goto closure, or an "
-                    "unpackable shape); no state-sharded path applies")
-            sc = scan_wwl.build_wwl_scan(m)
+                    "(unpackable shape); no state-sharded path applies")
             self._wwl = sc
             self._table = (sc.table if sc.row_layout
                            else sc.table.reshape(-1, sc.num_classes))
@@ -570,10 +587,20 @@ class TableShardedScanner:
             # raw plane covers them (PAD class 0 = non-word dead end).
             cls_p = np.pad(cls, (0, d + 1))
             raw = np.asarray(self._scan(cls_p, "raw"))[0]
-            die, has, ms, me, mv = scan_wwl.host_walks_from_raw(
-                sc, raw, cls_p, n)
+            outs = scan_wwl.host_walks_from_raw(sc, raw, cls_p, n)
+            die, has, ms, me, mv = outs[:5]
             is_word = np.asarray(m.class_is_word)[cls]
-            trip = follow_chain(die, has, ms, me, mv, word_starts(is_word), n)
+            ws = word_starts(is_word)
+            if sc.has_cross:
+                lanes = ws
+                if n and (len(ws) == 0 or ws[0] != 0):
+                    lanes = np.concatenate([np.zeros(1, dtype=np.int64), ws])
+                need = lanes[outs[5][lanes]]
+                if len(need):
+                    fix = scan_wwl.host_walks_at(m, cls_p, need, d)
+                    for arr, f in zip((die, has, ms, me, mv), fix):
+                        arr[need] = f
+            trip = follow_chain(die, has, ms, me, mv, ws, n)
             return _triples_from_list(trip)
         bits = self._scan(cls, self.layout)
         triples = scan_batched.ac_matches_batched(
@@ -843,9 +870,29 @@ class ShardedScanner:
         if m.kind == "whole_word_longest":
             from ahocorasick_tpu.resolve.wholeword import follow_chain, word_starts
 
-            die, has, ms, me, mv = sharded_wwl_walks(self.matcher, cls, self.mesh)
+            die, has, ms, me, mv, cont = sharded_wwl_walks(
+                self.matcher, cls, self.mesh)
             is_word = np.asarray(m.class_is_word)[cls]
-            trip = follow_chain(die, has, ms, me, mv, word_starts(is_word), len(cls))
+            ws = word_starts(is_word)
+            if cont is not None:
+                # Mixed dictionary: re-run walks whose die char crossed into
+                # the truncated region, at the positions the restart chain
+                # can consume (0 and word starts) — sparse host walks.
+                from ahocorasick_tpu.ops import scan_wwl
+
+                d = scan_wwl.bucket_depth(m.max_depth)
+                lanes = ws
+                if len(cls) and (len(ws) == 0 or ws[0] != 0):
+                    lanes = np.concatenate([np.zeros(1, dtype=np.int64), ws])
+                need = lanes[cont[lanes]]
+                if len(need):
+                    die, has, ms, me, mv = (np.array(a) for a in
+                                            (die, has, ms, me, mv))
+                    cls_pad = np.pad(cls, (0, d + 1))
+                    fix = scan_wwl.host_walks_at(m, cls_pad, need, d)
+                    for arr, f in zip((die, has, ms, me, mv), fix):
+                        arr[need] = f
+            trip = follow_chain(die, has, ms, me, mv, ws, len(cls))
             if not trip:
                 z = np.zeros(0, dtype=np.int64)
                 return z, z, z.copy()

@@ -181,3 +181,97 @@ def oracle_whole_word_longest(
             p += 1
         i = p
     return out
+
+
+# --------------------------------------------------------------------------- #
+# Set-membership recounts for LARGE dictionaries (round 5): the per-keyword
+# loops above are O(keywords x positions) — fine for fuzz-sized inputs,
+# infeasible at the 235,886-word dictionary corpus.  These reorganize the
+# same naive semantics by keyword length (O(positions x distinct lengths)
+# hash probes over the raw UTF-16 bytes), still fully independent of the
+# compiler/engines; they co-sign tests/test_dict_corpus.py's pinned counts
+# (SetTest.java:40-59 oracle role).
+# --------------------------------------------------------------------------- #
+
+
+def _by_len(keywords: Sequence[str], case_sensitive: bool):
+    by_len: dict = {}
+    for kw in _prep(keywords, case_sensitive):
+        by_len.setdefault(len(kw), set()).add(kw.tobytes())
+    return by_len
+
+
+def oracle_ac_count_fast(keywords, text, case_sensitive=True) -> int:
+    hay = _fold(text, case_sensitive)
+    hb = hay.tobytes()
+    n = len(hay)
+    total = 0
+    for L, s in _by_len(keywords, case_sensitive).items():
+        W = 2 * L
+        total += sum(1 for i in range(0, 2 * (n - L + 1), 2)
+                     if hb[i : i + W] in s)
+    return total
+
+
+def oracle_longest_count_fast(keywords, text, case_sensitive=True) -> int:
+    """Greedy leftmost-longest recount (same semantics as oracle_longest)."""
+    hay = _fold(text, case_sensitive)
+    hb = hay.tobytes()
+    n = len(hay)
+    by_len = _by_len(keywords, case_sensitive)
+    lengths = sorted(by_len, reverse=True)
+    count = 0
+    i = 0
+    while i < n:
+        for L in lengths:
+            if i + L <= n and hb[2 * i : 2 * (i + L)] in by_len[L]:
+                count += 1
+                i += L
+                break
+        else:
+            i += 1
+    return count
+
+
+def oracle_shortest_count_fast(keywords, text, case_sensitive=True) -> int:
+    """Leftmost-shortest recount, independent of the compiler: reproduces
+    the reference's two observable rules directly — insert-time skipping of
+    keywords with an already-accepted prefix (``ShortestMatchSet.java:23-42``)
+    and the lagged min-end restart loop, in its candidate form (first
+    candidate in (end asc, start asc) order with start >= cursor)."""
+    # Insert-order survivor filter by prefix membership (first wins).
+    accepted: set = set()
+    surv = []
+    for kw in keywords:
+        if not kw:
+            continue
+        u = _fold(kw, case_sensitive)
+        b = u.tobytes()
+        if any(b[: 2 * j] in accepted for j in range(1, len(u) + 1)):
+            continue
+        accepted.add(b)
+        surv.append(kw)
+    hay = _fold(text, case_sensitive)
+    hb = hay.tobytes()
+    n = len(hay)
+    by_len = _by_len(surv, case_sensitive)
+    cands = []
+    for L, s in by_len.items():
+        for i in range(n - L + 1):
+            if hb[2 * i : 2 * (i + L)] in s:
+                cands.append((i + L, i))
+    cands.sort()
+    p = 0
+    count = 0
+    for e, i in cands:
+        if i >= p:
+            count += 1
+            p = e
+    return count
+
+
+def oracle_whole_word_count_fast(keywords, text, case_sensitive=True,
+                                 word_chars=None) -> int:
+    """Whole-word recount: maximal word runs vs a keyword set (one probe
+    per run) — already length-independent; counts only."""
+    return len(oracle_whole_word(keywords, text, case_sensitive, word_chars))

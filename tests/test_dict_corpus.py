@@ -57,6 +57,28 @@ def test_dictionary_counts_pinned(corpus, kind):
     assert m.last_stats.engine == "device"  # large input -> device engine
 
 
+def test_dictionary_counts_cosigned_by_naive_oracle(corpus):
+    """The pinned gold counts, re-derived by the compiler-independent naive
+    oracle (tests/oracles.py set-membership recounts) on the paragraph and
+    the 6k corpus prefix — so the conformance anchor is not single-sourced
+    on the repo's own gold model (round-5; SetTest.java:186-191 role)."""
+    import oracles
+
+    words, para, text = corpus
+    prefix = text[:6000]
+    ww_words = words[::6]
+    for kind, fn, kws in (
+        ("ac", oracles.oracle_ac_count_fast, words),
+        ("longest", oracles.oracle_longest_count_fast, words),
+        ("shortest", oracles.oracle_shortest_count_fast, words),
+        ("whole_word", oracles.oracle_whole_word_count_fast, ww_words),
+        ("whole_word_longest", oracles.oracle_whole_word_count_fast, ww_words),
+    ):
+        n_para, n_prefix, _ = PINNED[kind]
+        assert fn(kws, para) == n_para, kind
+        assert fn(kws, prefix) == n_prefix, kind
+
+
 def test_dictionary_map_values(corpus):
     """Map variant at dictionary scale: every reported value id is the
     index of exactly the keyword occupying the span (MapTest analog)."""

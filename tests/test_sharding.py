@@ -503,16 +503,43 @@ def test_sharded_stream_chunked_feeds():
     assert got2 == want
 
 
-def test_table_sharded_scanner_rejects_mixed_wwl():
-    """Separator-spanning WWL dictionaries have no packed scan table (no
-    goto closure compiled); the TP scanner must refuse, not silently return
-    wrong spans."""
+def test_table_sharded_wwl_mixed():
+    """Separator-spanning WWL on the TP path (round 5): truncated-closure
+    raw-plane scan + host continuations, gold-exact."""
     from ahocorasick_tpu.models.matchers import WholeWordLongestMatchSet
     from ahocorasick_tpu.parallel import sharding
 
-    m = WholeWordLongestMatchSet(["New York", "york"])
-    with pytest.raises(ValueError):
-        sharding.TableShardedScanner(m, sharding.model_mesh())
+    m = WholeWordLongestMatchSet(["new york", "new", "york", "a b", "ab"],
+                                 case_sensitive=False)
+    ts = sharding.TableShardedScanner(m, sharding.model_mesh())
+    assert ts._wwl.has_cross
+    rng = random.Random(58)
+    t = "".join(rng.choice(["new", "york", " ", "a", "b ", "!x"])
+                for _ in range(2000)) + " new york a b"
+    s, e, v = ts.match_triples(t)
+    want = [(a, b) for a, b, _ in
+            gold.gold_whole_word_longest(m.compiled, t)]
+    assert list(zip(s.tolist(), e.tolist())) == want
+    assert len(want) > 0
+
+
+def test_sharded_wwl_mixed():
+    """Separator-spanning WWL on the data-parallel mesh: per-shard truncated
+    scan with halo exchange + host continuation fixes, gold-exact across
+    shard boundaries."""
+    from ahocorasick_tpu.models.matchers import WholeWordLongestMatchSet
+
+    m = WholeWordLongestMatchSet(["new york", "new", "york", "a b", "ab"],
+                                 case_sensitive=False, engine="device")
+    sc = ShardedScanner(m, data_mesh())
+    for trial in range(10):
+        rng = random.Random(590 + trial)
+        t = "".join(rng.choice(["new", "york", " ", "a", "b ", "!x"])
+                    for _ in range(rng.randint(0, 3000)))
+        s, e, v = sc.match_triples(t)
+        want = [(a, b) for a, b, _ in
+                gold.gold_whole_word_longest(m.compiled, t)]
+        assert list(zip(s.tolist(), e.tolist())) == want, trial
 
 
 def test_table_sharded_scanner_caches_build():

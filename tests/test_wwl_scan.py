@@ -174,3 +174,174 @@ def test_scan_engine_non_bmp_units():
               " \U0001F600ab!"]:
         got = _collect(m, t)
         assert got == _gold_pairs(m, t), t
+
+
+# --------------------------------------------------------------------------- #
+# Round 5: separator-spanning (mixed-wordness) dictionaries on the scan
+# engine — truncated word-uniform-subtrie closure + crossing bit + sparse
+# full-trie continuations (scan_wwl.build_wwl_scan_mixed / host_walks_at).
+# --------------------------------------------------------------------------- #
+
+
+def test_mixed_applicability_gates():
+    mixed = WholeWordLongestMatchSet(["new york", "boston"])
+    assert not scan_wwl.scan_applicable(mixed.compiled)
+    assert scan_wwl.mixed_scan_applicable(mixed.compiled)
+    # Uniform dictionaries ride the pure engine, not the truncated build.
+    pure = WholeWordLongestMatchSet(["abc", "de"])
+    assert not scan_wwl.mixed_scan_applicable(pure.compiled)
+    # A closure-less artifact of a UNIFORM dictionary is recoverable via the
+    # truncated build (it reconstructs the full closure, no crossings).
+    import dataclasses
+
+    legacy = dataclasses.replace(pure.compiled, dfa_next=None, fail=None)
+    assert scan_wwl.mixed_scan_applicable(legacy)
+    sc = scan_wwl.build_wwl_scan_mixed(legacy)
+    assert sc.has_cross
+
+
+def test_mixed_scan_engine_fuzz():
+    """Dense mixed dictionaries vs gold: crossing continuations, trim
+    interactions, keywords sharing uniform prefixes with pure keywords."""
+    pool = ["new york", "new", "york", "n y", "a b", "ab", "b", "yo",
+            "new yorker", "a", "aa b", " ", "!!"]
+    for trial in range(120):
+        rng = random.Random(9000 + trial)
+        kws = list({rng.choice(pool) for _ in range(rng.randint(1, 8))})
+        m = WholeWordLongestMatchSet(kws, engine="device")
+        if not scan_wwl.scan_applicable(m.compiled):
+            assert scan_wwl.mixed_scan_applicable(m.compiled)
+        t = "".join(rng.choice(["new", "york", " ", "a", "b", "!", "y", "n "])
+                    for _ in range(rng.randint(0, 300)))
+        assert _collect(m, t) == _gold_pairs(m, t), (trial, kws, t)
+
+
+def test_mixed_scan_engine_map_values():
+    m = WholeWordLongestMatchMap(["new york", "new", "a b"], [10, 20, 30],
+                                 case_sensitive=False, engine="device")
+    assert scan_wwl.mixed_scan_applicable(m.compiled)
+    t = "New York beats new, then a b."
+    got = m.match(t)
+    want = gold.gold_whole_word_longest(m.compiled, t)
+    assert got == [(s, e, [10, 20, 30][v]) for s, e, v in want]
+    assert (t[got[0][0]:got[0][1]]) == "New York"
+
+
+def test_mixed_scan_engine_quotient():
+    """Row-compressed mixed dictionaries previously had NO device engine at
+    all (models/matchers.py r4: host path); the truncated quotient closure
+    now scans them (WholeWordLongestMatchSet.java:47-178 at any width)."""
+
+    class _NeverDense:
+        def is_over_threshold(self, size, lo, hi):
+            return False
+
+    kws = [chr(c) for c in range(97, 123)] + ["a b", "new york", "ab"]
+    m = WholeWordLongestMatchSet(kws, thresholder=_NeverDense(),
+                                 engine="device")
+    assert m.compiled.is_row_compressed
+    assert scan_wwl.mixed_scan_applicable(m.compiled)
+    for trial in range(25):
+        rng = random.Random(700 + trial)
+        t = "".join(rng.choice(["new", " york", " ", "a", "b", "!"])
+                    for _ in range(rng.randint(0, 400)))
+        assert _collect(m, t) == _gold_pairs(m, t), (trial, t)
+
+
+def test_mixed_scan_stream_chunked():
+    """Streaming cursor rides the mixed scan engine: random chunkings equal
+    the batch output at global offsets (stream carry invariant)."""
+    from ahocorasick_tpu.core.stream import make_cursor
+
+    m = WholeWordLongestMatchSet(
+        ["new york", "new", "york", "a b", "ab"], case_sensitive=False,
+        engine="device")
+    for trial in range(20):
+        rng = random.Random(4400 + trial)
+        t = "".join(rng.choice(["new", "york", " ", "a", "b ", "!x"])
+                    for _ in range(rng.randint(0, 400)))
+        want = _gold_pairs(m, t)
+        cur = make_cursor(m.compiled, dev=m.dev, engine="device")
+        got = []
+        i = 0
+        while i < len(t):
+            j = min(len(t), i + rng.randint(1, 120))
+            got += cur.feed(m._classes(t[i:j]), is_final=(j == len(t)))
+            i = j
+        if len(t) == 0:
+            got += cur.feed(m._classes(""), is_final=True)
+        assert [(a, b) for a, b, _ in got] == want, (trial, t)
+
+
+def test_host_walks_at_matches_walk_engine():
+    """The sparse host continuation walker equals the device walk engine
+    (full trie) on arbitrary starts."""
+    import jax.numpy as jnp
+
+    m = WholeWordLongestMatchSet(["new york", "new", "a b", "ab"],
+                                 engine="device")
+    rng = random.Random(3)
+    t = "".join(rng.choice(["new", " york", "a", " b", "!"])
+                for _ in range(300))
+    cls = m._classes(t)
+    cls_p, starts, lanes, ws, d = scan_wwl.compact_lanes(m.compiled, cls)
+    dev = m.dev
+    die, has, ms, me, mv = (np.asarray(x) for x in scan_wwl.wwl_walks_at(
+        dev.trie_next, dev.own_len, dev.own_val, dev.fail_len, dev.fail_off,
+        dev.fail_val, dev.class_is_word, jnp.asarray(cls_p),
+        jnp.asarray(starts), d))
+    W = len(lanes)
+    hdie, hhas, hms, hme, hmv = scan_wwl.host_walks_at(m.compiled, cls_p,
+                                                       lanes, d)
+    np.testing.assert_array_equal(die[:W], hdie)
+    np.testing.assert_array_equal(has[:W], hhas)
+    np.testing.assert_array_equal(me[:W][hhas], hme[hhas])
+    np.testing.assert_array_equal(ms[:W][hhas], hms[hhas])
+    np.testing.assert_array_equal(mv[:W][hhas], hmv[hhas])
+
+
+def test_fused_kernel_equals_sweep():
+    """The fused die-sweep-in-carry kernel (the round-5 measured ablation,
+    docs/PERF.md — kept in-tree with FUSED_DEFAULT=False after losing the
+    v5e A/B) must stay output-identical to the sweep kernel, pure and
+    mixed."""
+    import jax.numpy as jnp
+
+    from ahocorasick_tpu.ops import scan_batched
+
+    cases = [
+        (["a" * i for i in range(1, 30)] + ["abc", "bca"], "abc !", False),
+        (["new york", "new", "york", "a b", "ab"], None, True),
+    ]
+    for kws, alpha, mixed in cases:
+        m = WholeWordLongestMatchSet(kws, engine="device")
+        if mixed:
+            sc = scan_wwl.build_wwl_scan_mixed(m.compiled)
+        else:
+            sc = scan_wwl.build_wwl_scan(m.compiled)
+        rng = random.Random(8)
+        if alpha is None:
+            t = "".join(rng.choice(["new", "york", " ", "a", "b", "!"])
+                        for _ in range(2000))
+        else:
+            t = "".join(rng.choice(alpha) for _ in range(4000))
+        cls = m._classes(t)
+        cls_p, starts, lanes, ws, d = scan_wwl.compact_lanes(m.compiled, cls)
+        assert scan_wwl.fused_applicable(sc, d)
+        w1 = scan_batched.chunk_classes(cls_p, 512, d, sc.num_classes)
+        o1 = scan_wwl.wwl_scan_walks(
+            sc.table, sc.rows_flat, sc.outrows, jnp.asarray(w1),
+            jnp.asarray(starts), halo=d, id_bits=sc.id_bits,
+            depth_bits=sc.depth_bits, num_classes=sc.num_classes, d=d,
+            row_layout=sc.row_layout, quotient=sc.quotient, cross=mixed)
+        w2 = scan_wwl.chunk_classes_overlap(cls_p, 512, d, d + 1,
+                                            sc.num_classes)
+        o2 = scan_wwl.wwl_scan_walks_fused(
+            sc.table, sc.outrows, jnp.asarray(w2), jnp.asarray(starts),
+            halo=d, id_bits=sc.id_bits, depth_bits=sc.depth_bits,
+            num_classes=sc.num_classes, d=d, row_layout=sc.row_layout,
+            cross=mixed)
+        W = len(lanes)
+        for a, b in zip(o1, o2):
+            np.testing.assert_array_equal(np.asarray(a)[:W],
+                                          np.asarray(b)[:W])
