@@ -82,8 +82,10 @@ def resolve_longest_sharded(
     # Phase A — speculative per-shard resolves.  Each resolve touches only
     # its own shard's candidates, so the decomposition ENABLES per-host
     # parallelism in a pod (each host resolving its shard before the
-    # all-gather); this single-host implementation runs them sequentially.
-    spec = [resolve_longest(*seg) if len(seg[0]) else _empty() for seg in segs]
+    # all-gather); on one host the shards resolve THREAD-parallel when the
+    # native resolver is loaded (its ctypes call releases the GIL — round 5;
+    # the pure-Python fallback stays sequential, where threads cannot help).
+    spec = _phase_a(segs)
 
     # Phase B — sequential stitch carrying the exact (anchor, tail) state.
     out_s: List[np.ndarray] = []
@@ -143,6 +145,30 @@ def resolve_longest_sharded(
         return _empty()
     return (np.concatenate(out_s), np.concatenate(out_e),
             np.concatenate(out_v))
+
+
+def _phase_a(segs) -> List[Triple]:
+    """Speculative per-shard resolves, thread-parallel over the GIL-free
+    native resolver when there is enough work to amortize pool dispatch."""
+    busy = [k for k, seg in enumerate(segs) if len(seg[0])]
+    total = sum(len(segs[k][0]) for k in busy)
+    native = False
+    try:
+        from ahocorasick_tpu.native import lib as native_lib
+
+        native = native_lib.available()
+    except Exception:
+        pass
+    if native and len(busy) > 1 and total >= (1 << 16):
+        from concurrent.futures import ThreadPoolExecutor
+
+        spec: List[Triple] = [_empty() for _ in segs]
+        with ThreadPoolExecutor(max_workers=min(len(busy), 8)) as pool:
+            futs = {k: pool.submit(resolve_longest, *segs[k]) for k in busy}
+            for k, f in futs.items():
+                spec[k] = f.result()
+        return spec
+    return [resolve_longest(*seg) if len(seg[0]) else _empty() for seg in segs]
 
 
 def _drop_trailing(out_s, out_e, out_v, n: int) -> None:

@@ -270,3 +270,33 @@ def test_shortest_artifact_legacy_sidecar_still_loads(tmp_path):
         m2 = load_matcher(target, engine="device")
         assert m2._ac is not None
         assert m2.match(text) == want
+
+
+def test_mixed_wwl_artifact_keeps_device_scan(tmp_path):
+    """A separator-spanning WWL artifact (compiled WITHOUT a goto closure)
+    reloads onto the round-5 truncated-closure device engine: the closure
+    rebuilds lazily from the persisted trie tables, so saved mixed
+    dictionaries scan on device like fresh ones."""
+    import random
+
+    from ahocorasick_tpu.core import gold
+    from ahocorasick_tpu.models.matchers import (
+        WholeWordLongestMatchSet, load_matcher,
+    )
+    from ahocorasick_tpu.ops import scan_wwl
+
+    m = WholeWordLongestMatchSet(["new york", "new", "a b", "ab"],
+                                 case_sensitive=False)
+    assert m.compiled.dfa_next is None  # mixed: no compiled closure
+    p = tmp_path / "mixed.npz"
+    m.save(p)
+    m2 = load_matcher(p, engine="device")
+    assert scan_wwl.mixed_scan_applicable(m2.compiled)
+    rng = random.Random(77)
+    t = "".join(rng.choice(["new", "york", " ", "a", "b ", "!x"])
+                for _ in range(1500))
+    got = m2.match(t)
+    want = [(a, b) for a, b, _ in
+            gold.gold_whole_word_longest(m2.compiled, t)]
+    assert got == want
+    assert m2.last_stats.engine == "device"

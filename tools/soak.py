@@ -131,6 +131,23 @@ def run_trial(rng, trial: int, use_mesh: bool) -> None:
         assert list(zip(s.tolist(), e.tolist())) == want, ("sharded", repro)
         assert sc.count(text) == len(want), ("sharded-count", repro)
 
+        if rng.integers(4) == 0:
+            # TP-analog surface (round 5: all five kinds), on a 1-axis or
+            # 2-D DP x TP mesh — the state-sharded scan + host resolve
+            # against the same gold expectation.
+            from ahocorasick_tpu.parallel.sharding import (
+                TableShardedScanner, dp_tp_mesh, model_mesh,
+            )
+
+            mesh = dp_tp_mesh() if rng.integers(2) else model_mesh()
+            try:
+                ts = TableShardedScanner(dev, mesh)
+            except ValueError:
+                return  # unpackable shape: no state-sharded layout
+            s, e, v = ts.match_triples(text)
+            assert list(zip(s.tolist(), e.tolist())) == want, \
+                ("table-sharded", repro, mesh.axis_names)
+
 
 def main():
     p = argparse.ArgumentParser()
