@@ -735,10 +735,8 @@ class _WwlCursor:
             die, has, ms, me, mv = (np.array(np.asarray(x))
                                     for x in outs[:5])
             cont_idx = np.nonzero(np.asarray(outs[5])[: len(lanes)])[0]
-            if len(cont_idx):
-                fix = scan_wwl.host_walks_at(m, buf_p, lanes[cont_idx], d)
-                for arr, f in zip((die, has, ms, me, mv), fix):
-                    arr[cont_idx] = f
+            scan_wwl.apply_crossing_fixes(m, buf_p, d, (die, has, ms, me, mv),
+                                          cont_idx, lanes[cont_idx])
         else:
             die, has, ms, me, mv = scan_wwl.wwl_walks_at(
                 self.dev.trie_next, self.dev.own_len, self.dev.own_val,

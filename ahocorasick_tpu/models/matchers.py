@@ -258,6 +258,7 @@ class _DeviceTables:
             from ahocorasick_tpu.ops import scan_wwl
 
             sc = scan_wwl.build_wwl_scan(self._m)
+            cache["wwl_scan_host"] = sc
             cache["wwl_scan"] = sc._replace(
                 table=jnp.asarray(sc.table),
                 rows_flat=None if sc.rows_flat is None
@@ -267,11 +268,19 @@ class _DeviceTables:
         return cache["wwl_scan"]
 
     @property
+    def wwl_scan_host(self):
+        """Host (numpy) copy of ``wwl_scan`` — the state-sharded TP scanner
+        pads/re-shards the raw table itself (``TableShardedScanner``)."""
+        self.wwl_scan  # ensure built
+        return self.__dict__["_cache"]["wwl_scan_host"]
+
+    @property
     def wwl_scan_mixed(self):
         """Truncated-closure scan tables for separator-spanning WWL
         dictionaries (lazy; ``ops/scan_wwl.build_wwl_scan_mixed``).  The
-        host copy stays cached too (``wwl_scan_mixed_host``): the sparse
-        continuation fixes and the sharded/TP host sweeps read it."""
+        host copy stays cached too (``wwl_scan_mixed_host``): the
+        state-sharded TP scanner pads/re-shards the raw table itself, so
+        one truncated-closure build serves both paths."""
         cache = self.__dict__["_cache"]
         if "wwl_scan_mixed" not in cache:
             import jax.numpy as jnp
@@ -1040,13 +1049,10 @@ class WholeWordMatchSet(_PfacEngine):
         super().__init__(keywords, case_sensitive, word_chars=word_chars, **kw)
 
     def _device_triples(self, cls):
-        starts, ends, vals = self._candidates(cls)
-        is_word = np.asarray(self.compiled.class_is_word)[cls]
-        n = len(cls)
-        left_ok = (starts == 0) | ~is_word[np.maximum(starts - 1, 0)]
-        right_ok = (ends == n) | ~is_word[np.minimum(ends, n - 1)]
-        keep = left_ok & right_ok
-        return starts[keep], ends[keep], vals[keep]
+        from ahocorasick_tpu.resolve.wholeword import boundary_filter
+
+        return boundary_filter(self.compiled.class_is_word, cls,
+                               *self._candidates(cls))
 
 
 class WholeWordMatchMap(WholeWordMatchSet):
@@ -1101,16 +1107,11 @@ class WholeWordLongestMatchSet(_Matcher):
             # host-only; WholeWordLongestMatchSet.java:47-178).
             sc = self.dev.wwl_scan_mixed
             outs = scan_wwl.scan_walks_auto(sc, cls_p, starts, d, cross=True)
-            die_c, has_c, ms_c, me_c, mv_c = (
-                np.array(np.asarray(x)) for x in outs[:5])
-            W = len(lanes)
-            cont_idx = np.nonzero(np.asarray(outs[5])[:W])[0]
-            if len(cont_idx):
-                fix = scan_wwl.host_walks_at(m, cls_p, lanes[cont_idx], d)
-                for arr, f in zip((die_c, has_c, ms_c, me_c, mv_c), fix):
-                    arr[cont_idx] = f
-            return self._chain_from_lanes(
-                die_c, has_c, ms_c, me_c, mv_c, lanes, ws, n)
+            arrays = tuple(np.array(np.asarray(x)) for x in outs[:5])
+            cont_idx = np.nonzero(np.asarray(outs[5])[: len(lanes)])[0]
+            scan_wwl.apply_crossing_fixes(m, cls_p, d, arrays, cont_idx,
+                                          lanes[cont_idx])
+            return self._chain_from_lanes(*arrays, lanes, ws, n)
         tables = (
             self.dev.trie_next, self.dev.own_len, self.dev.own_val,
             self.dev.fail_len, self.dev.fail_off, self.dev.fail_val,

@@ -889,6 +889,31 @@ def wwl_scan_walks_fused(
     return outs
 
 
+def chain_lanes(ws: np.ndarray, n: int) -> np.ndarray:
+    """The positions the restart chain can consume: position 0 (the
+    reference's initial walk, whatever its wordness) plus every word start
+    (``resolve/wholeword.follow_chain``; same rule as ``compact_lanes``)."""
+    if n and (len(ws) == 0 or ws[0] != 0):
+        return np.concatenate([np.zeros(1, dtype=np.int64), ws])
+    return ws
+
+
+def apply_crossing_fixes(m, cls_p: np.ndarray, d: int, arrays, idx,
+                         starts) -> None:
+    """Overwrite walk outcomes at the flagged slots with full-trie host
+    walks: ``arrays`` = the mutable (die, has, ms, me, mv) quintet,
+    ``idx`` = the slots to overwrite, ``starts`` = the corresponding walk
+    start positions (equal to ``idx`` for position-indexed arrays, or
+    ``lanes[idx]`` for compact per-lane arrays).  The ONE continuation
+    contract shared by the matcher path, the streaming cursor, and the
+    sharded/TP scanners."""
+    if not len(idx):
+        return
+    fix = host_walks_at(m, cls_p, starts, d)
+    for arr, f in zip(arrays, fix):
+        arr[idx] = f
+
+
 def scan_walks_auto(sc: WwlScan, cls_p: np.ndarray, starts, d: int,
                     cross: bool):
     """Run the production scan-walk engine for the given starts: the

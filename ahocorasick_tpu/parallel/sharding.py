@@ -492,12 +492,14 @@ class TableShardedScanner:
         if m.kind == "whole_word_longest":
             from ahocorasick_tpu.ops import scan_wwl
 
+            # Reuse the matcher's dev-cached host tables: one (truncated-)
+            # closure build serves the single-chip, DP and TP paths.
             if scan_wwl.scan_applicable(m):
-                sc = scan_wwl.build_wwl_scan(m)
+                sc = matcher.dev.wwl_scan_host
             elif scan_wwl.mixed_scan_applicable(m):
                 # Separator-spanning dictionary: truncated-closure tables;
                 # crossing walks re-run on the sparse host walker.
-                sc = scan_wwl.build_wwl_scan_mixed(m)
+                sc = matcher.dev.wwl_scan_mixed_host
             else:
                 raise ValueError(
                     "whole-word-longest matcher has no packed scan table "
@@ -592,14 +594,11 @@ class TableShardedScanner:
             is_word = np.asarray(m.class_is_word)[cls]
             ws = word_starts(is_word)
             if sc.has_cross:
-                lanes = ws
-                if n and (len(ws) == 0 or ws[0] != 0):
-                    lanes = np.concatenate([np.zeros(1, dtype=np.int64), ws])
+                lanes = scan_wwl.chain_lanes(ws, n)
                 need = lanes[outs[5][lanes]]
-                if len(need):
-                    fix = scan_wwl.host_walks_at(m, cls_p, need, d)
-                    for arr, f in zip((die, has, ms, me, mv), fix):
-                        arr[need] = f
+                scan_wwl.apply_crossing_fixes(m, cls_p, d,
+                                              (die, has, ms, me, mv),
+                                              need, need)
             trip = follow_chain(die, has, ms, me, mv, ws, n)
             return _triples_from_list(trip)
         bits = self._scan(cls, self.layout)
@@ -610,13 +609,9 @@ class TableShardedScanner:
 
             return resolve_longest(*triples)
         if m.kind == "whole_word":
-            starts, ends, vals = triples
-            is_word = np.asarray(m.class_is_word)[cls]
-            n = len(cls)
-            left_ok = (starts == 0) | ~is_word[np.maximum(starts - 1, 0)]
-            right_ok = (ends == n) | ~is_word[np.minimum(ends, n - 1)]
-            keep = left_ok & right_ok
-            return starts[keep], ends[keep], vals[keep]
+            from ahocorasick_tpu.resolve.wholeword import boundary_filter
+
+            return boundary_filter(m.class_is_word, cls, *triples)
         return triples
 
 
@@ -877,21 +872,17 @@ class ShardedScanner:
             if cont is not None:
                 # Mixed dictionary: re-run walks whose die char crossed into
                 # the truncated region, at the positions the restart chain
-                # can consume (0 and word starts) — sparse host walks.
+                # can consume — sparse host walks.
                 from ahocorasick_tpu.ops import scan_wwl
 
                 d = scan_wwl.bucket_depth(m.max_depth)
-                lanes = ws
-                if len(cls) and (len(ws) == 0 or ws[0] != 0):
-                    lanes = np.concatenate([np.zeros(1, dtype=np.int64), ws])
+                lanes = scan_wwl.chain_lanes(ws, len(cls))
                 need = lanes[cont[lanes]]
-                if len(need):
-                    die, has, ms, me, mv = (np.array(a) for a in
-                                            (die, has, ms, me, mv))
-                    cls_pad = np.pad(cls, (0, d + 1))
-                    fix = scan_wwl.host_walks_at(m, cls_pad, need, d)
-                    for arr, f in zip((die, has, ms, me, mv), fix):
-                        arr[need] = f
+                die, has, ms, me, mv = (np.array(a) for a in
+                                        (die, has, ms, me, mv))
+                scan_wwl.apply_crossing_fixes(
+                    m, np.pad(cls, (0, d + 1)), d, (die, has, ms, me, mv),
+                    need, need)
             trip = follow_chain(die, has, ms, me, mv, ws, len(cls))
             if not trip:
                 z = np.zeros(0, dtype=np.int64)
@@ -924,17 +915,12 @@ class ShardedScanner:
                 max_depth=m.max_depth,
             )
         if m.kind == "whole_word":
-            # Vectorized boundary filter over AC candidates — the same
-            # equivalence the single-chip device path uses (pure-word-char
-            # keywords match whole words iff flanked by non-word chars or
-            # text edges; WholeWordMatchSet.java:47-132).
-            starts, ends, vals = triples
-            is_word = np.asarray(m.class_is_word)[cls]
-            n = len(cls)
-            left_ok = (starts == 0) | ~is_word[np.maximum(starts - 1, 0)]
-            right_ok = (ends == n) | ~is_word[np.minimum(ends, n - 1)]
-            keep = left_ok & right_ok
-            return starts[keep], ends[keep], vals[keep]
+            # Boundary filter over AC candidates — the same equivalence the
+            # single-chip device path uses (resolve/wholeword.boundary_filter;
+            # WholeWordMatchSet.java:47-132).
+            from ahocorasick_tpu.resolve.wholeword import boundary_filter
+
+            return boundary_filter(m.class_is_word, cls, *triples)
         return triples
 
 

@@ -27,6 +27,20 @@ def word_starts(is_word: np.ndarray) -> np.ndarray:
     return np.nonzero(is_word & ~prev)[0].astype(np.int64)
 
 
+def boundary_filter(class_is_word, cls: np.ndarray, starts, ends, vals):
+    """Keep the AC candidates flanked by non-word chars or text edges — the
+    whole-word equivalence for pure-word-char keywords (one candidate per
+    maximal word run, ``WholeWordMatchSet.java:47-132`` semantics);
+    the ONE filter shared by the matcher device path and the sharded/TP
+    scanners."""
+    is_word = np.asarray(class_is_word)[cls]
+    n = len(cls)
+    left_ok = (starts == 0) | ~is_word[np.maximum(starts - 1, 0)]
+    right_ok = (ends == n) | ~is_word[np.minimum(ends, n - 1)]
+    keep = left_ok & right_ok
+    return starts[keep], ends[keep], vals[keep]
+
+
 def follow_chain(
     die_pos: np.ndarray,
     has: np.ndarray,
