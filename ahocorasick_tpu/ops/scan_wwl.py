@@ -374,6 +374,64 @@ def _uniform_states(m, ps, cs, ch):
     return uniform, word_of
 
 
+def _truncated_closure_dense(m):
+    """Dense goto-closure of the word-uniform sub-trie with crossing marks:
+    ``(dfa int32[S, A], cross bool[S, A], uniform bool[S])``.
+
+    Same semantics as ``_truncated_closure`` (conformance-tested equal) but
+    built level-synchronously with vectorized numpy row copies — a dense
+    output needs no row dedup, so the per-node consing loop (the only
+    Python-speed pass left on the mixed-WWL path; ~minutes at 4M states)
+    reduces to three scatters/gathers per trie level.  Per level L (edges
+    whose child sits at depth L, parents complete at depth L-1):
+
+    1. overlay the parents' own edges onto their inherited rows
+       (``dfa[p, c] = child`` for uniform children, ``cross[p, c]`` for
+       crossing ones) — this COMPLETES every depth-(L-1) row before anything
+       at depth L reads it;
+    2. ``fail[n] = dfa[fail[p], c]`` (fail targets sit at depth <= L-1,
+       complete by induction);
+    3. ``dfa[n] = dfa[fail[n]]`` (inherit; own edges arrive at step 1 of
+       level L+1).  Crossing marks never inherit (own-edge property).
+    """
+    S, A = m.num_states, m.num_classes
+    depth = np.asarray(m.depth[:S])
+    ps, cs, ch = _trie_edges(m)
+    uniform, _ = _uniform_states(m, ps, cs, ch)
+
+    dfa = np.zeros((S, A), dtype=np.int32)
+    cross = np.zeros((S, A), dtype=bool)
+    fail = np.zeros(S, dtype=np.int64)
+
+    # Edges from uniform parents only; crossing = child non-uniform.
+    keep = uniform[ps]
+    ps, cs, ch = ps[keep], cs[keep], ch[keep]
+    is_cross = ~uniform[ch]
+    edge_depth = depth[ch]
+    order = np.argsort(edge_depth, kind="stable")
+    ed_sorted = edge_depth[order]
+    max_d = int(ed_sorted[-1]) if len(ed_sorted) else 0
+
+    for level in range(1, max_d + 1):
+        a = np.searchsorted(ed_sorted, level, "left")
+        b = np.searchsorted(ed_sorted, level, "right")
+        sel = order[a:b]
+        if not len(sel):
+            continue
+        p, c, n = ps[sel], cs[sel], ch[sel]
+        cx = is_cross[sel]
+        dfa[p[~cx], c[~cx]] = n[~cx]  # step 1: complete depth-(L-1) rows
+        cross[p[cx], c[cx]] = True
+        pu, cu, nu = p[~cx], c[~cx], n[~cx]
+        if len(nu):
+            if level == 1:
+                fail[nu] = 0
+            else:
+                fail[nu] = dfa[fail[pu], cu]  # step 2
+            dfa[nu] = dfa[fail[nu]]  # step 3
+    return dfa, cross, uniform
+
+
 def _truncated_closure(m):
     """Goto-closure DFA of the word-uniform sub-trie, with crossing-edge
     marks, hash-consed like the compiler's closure pass
@@ -583,8 +641,8 @@ def build_wwl_scan_mixed(m) -> WwlScan:
     depth = np.asarray(m.depth[: S], dtype=np.uint32)
     word = np.asarray(m.class_is_word, dtype=np.uint32)
 
-    rows, cross, row_id, _uniform = _truncated_closure(m)
     if m.is_row_compressed:
+        rows, cross, row_id, _uniform = _truncated_closure(m)
         R = rows.shape[0]
         id_bits = max(int(R - 1).bit_length(), 1)
         if id_bits + depth_bits + 2 > 32:
@@ -599,12 +657,13 @@ def build_wwl_scan_mixed(m) -> WwlScan:
         rows_flat = np.ascontiguousarray(rows.reshape(-1).astype(np.int32))
         quotient = True
     else:
+        # Dense: the vectorized level-synchronous build (no consing).
+        nxt, cross_d, _uniform = _truncated_closure_dense(m)
         id_bits = max(int(S - 1).bit_length(), 1)
-        nxt = rows[row_id]  # (S, A) concrete targets; mixed rows unused
         packed = nxt.astype(np.uint32)
         packed |= depth[nxt] << np.uint32(id_bits)
         packed |= (word << np.uint32(id_bits + depth_bits))[None, :]
-        packed |= cross[row_id].astype(np.uint32) << np.uint32(
+        packed |= cross_d.astype(np.uint32) << np.uint32(
             id_bits + depth_bits + 1)
         rows_flat = None
         quotient = False

@@ -345,3 +345,25 @@ def test_fused_kernel_equals_sweep():
         for a, b in zip(o1, o2):
             np.testing.assert_array_equal(np.asarray(a)[:W],
                                           np.asarray(b)[:W])
+
+
+def test_truncated_closure_dense_equals_consing():
+    """The vectorized dense truncated-closure build (production for dense
+    mixed dictionaries) equals the hash-consing builder (the oracle, kept
+    for the quotient path) at every uniform state."""
+    pool = ["new york", "new", "york", "n y", "a b", "ab", "b", "yo", "a",
+            "aa bb", "bb", " ", "!!", "x y z", "x"]
+    for trial in range(40):
+        rng = random.Random(41000 + trial)
+        kws = list({rng.choice(pool) for _ in range(rng.randint(1, 9))})
+        m = WholeWordLongestMatchSet(kws)
+        if not scan_wwl.mixed_scan_applicable(m.compiled):
+            continue
+        rows, cross, row_id, uni1 = scan_wwl._truncated_closure(m.compiled)
+        dfa2, cross2, uni2 = scan_wwl._truncated_closure_dense(m.compiled)
+        np.testing.assert_array_equal(uni1, uni2)
+        u = np.nonzero(uni1)[0]
+        np.testing.assert_array_equal(rows[row_id][u], dfa2[u],
+                                      err_msg=str((trial, kws)))
+        np.testing.assert_array_equal(cross[row_id][u], cross2[u],
+                                      err_msg=str((trial, kws)))
