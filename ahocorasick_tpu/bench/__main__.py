@@ -336,7 +336,8 @@ def compare_results(path_a: str, path_b: str) -> int:
     # each record's own fields).
     _IDENT = ("config", "kind", "map", "keywords", "units", "devices")
     _HIGHER_IS_BETTER = ("gbps", "kernel_gbps", "projected_gbps",
-                         "matches_per_sec", "efficiency_vs_1")
+                         "projected_scan_gbps", "matches_per_sec",
+                         "efficiency_vs_1")
     _LOWER_IS_BETTER = ("scan_s", "compile_s")
 
     def load(path):
