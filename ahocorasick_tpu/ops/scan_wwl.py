@@ -345,7 +345,22 @@ def _trie_edges(m):
     return ps, cs, ch
 
 
-def _uniform_states(m, ps, cs, ch):
+def _edges_by_level(depth, ch):
+    """``(order, ed_sorted)``: edge indices stably sorted by child depth +
+    the sorted depths — the ONE level-bucketing shared by the uniform pass
+    and the closure builders (iterate with ``_level_slice``)."""
+    edge_depth = np.asarray(depth)[ch]  # = depth[parent] + 1
+    order = np.argsort(edge_depth, kind="stable")
+    return order, edge_depth[order]
+
+
+def _level_slice(order, ed_sorted, level):
+    a = np.searchsorted(ed_sorted, level, "left")
+    b = np.searchsorted(ed_sorted, level, "right")
+    return order[a:b]
+
+
+def _uniform_states(m, ps, cs, ch, level_order=None):
     """bool[S]: the state's root path is word-uniform (root: True), plus the
     path wordness of each state (undefined for non-uniform)."""
     S = m.num_states
@@ -354,14 +369,11 @@ def _uniform_states(m, ps, cs, ch):
     uniform = np.zeros(S, dtype=bool)
     uniform[0] = True
     word_of = np.zeros(S, dtype=bool)
-    edge_depth = depth[ch]  # = depth[parent] + 1
-    order = np.argsort(edge_depth, kind="stable")
-    ed_sorted = edge_depth[order]
+    order, ed_sorted = (level_order if level_order is not None
+                        else _edges_by_level(depth, ch))
     max_d = int(depth.max()) if S > 1 else 0
     for level in range(1, max_d + 1):
-        a = np.searchsorted(ed_sorted, level, "left")
-        b = np.searchsorted(ed_sorted, level, "right")
-        sel = order[a:b]
+        sel = _level_slice(order, ed_sorted, level)
         if not len(sel):
             continue
         p, c, n = ps[sel], cs[sel], ch[sel]
@@ -397,25 +409,24 @@ def _truncated_closure_dense(m):
     S, A = m.num_states, m.num_classes
     depth = np.asarray(m.depth[:S])
     ps, cs, ch = _trie_edges(m)
-    uniform, _ = _uniform_states(m, ps, cs, ch)
+    lvl = _edges_by_level(depth, ch)
+    uniform, _ = _uniform_states(m, ps, cs, ch, lvl)
 
     dfa = np.zeros((S, A), dtype=np.int32)
     cross = np.zeros((S, A), dtype=bool)
     fail = np.zeros(S, dtype=np.int64)
 
     # Edges from uniform parents only; crossing = child non-uniform.
-    keep = uniform[ps]
-    ps, cs, ch = ps[keep], cs[keep], ch[keep]
+    # Filtering the precomputed level order preserves sortedness — no
+    # second argsort over the edge set.
+    order, ed_sorted = lvl
+    keepo = uniform[ps][order]
+    order, ed_sorted = order[keepo], ed_sorted[keepo]
     is_cross = ~uniform[ch]
-    edge_depth = depth[ch]
-    order = np.argsort(edge_depth, kind="stable")
-    ed_sorted = edge_depth[order]
     max_d = int(ed_sorted[-1]) if len(ed_sorted) else 0
 
     for level in range(1, max_d + 1):
-        a = np.searchsorted(ed_sorted, level, "left")
-        b = np.searchsorted(ed_sorted, level, "right")
-        sel = order[a:b]
+        sel = _level_slice(order, ed_sorted, level)
         if not len(sel):
             continue
         p, c, n = ps[sel], cs[sel], ch[sel]

@@ -291,11 +291,12 @@ def _table_sharded_run(
     for the lanes whose state falls in its slice (others contribute the
     identity 0) and one ``psum`` combines the full packed value — one
     vector collective per character, so this trades ICI latency for HBM
-    capacity and is strictly slower than a replicated scan whenever the
-    table fits (measured on v5e, 10k-kw table on a 1-device mesh: 0.353
-    GB/s = 46% of the replicated rowdfa1 rate — the formulation cost alone;
-    a real multi-chip mesh adds one ICI psum latency per character on top,
-    ``tools/probes/probe10_tp.py``).  Data-parallel ``make_sharded_counter``
+    capacity and is slower than a replicated scan whenever the table fits —
+    though barely, in formulation terms: measured on v5e (10k-kw table,
+    1-device mesh, dispatch-amortized reps-in-one-jit on both sides) the
+    TP scan runs 0.705 GB/s = 92% of the replicated rowdfa1 rate; the real
+    multi-chip cost is the per-character ICI ``psum`` latency on top
+    (``tools/probes/probe10_tp.py``).  Data-parallel ``make_sharded_counter``
     remains the fast path; the DP x TP composition lives in
     ``_table_sharded_build`` (2-axis mesh: windows shard over ``data``,
     rows over ``model``).

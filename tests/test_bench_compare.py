@@ -50,19 +50,13 @@ def test_non_json_lines_skipped(tmp_path):
     assert compare_results(a, str(p)) == 0
 
 
-def test_compare_flags_projected_scan_regression(tmp_path, capsys):
+def test_compare_flags_projected_scan_regression(tmp_path):
     """The round-5 schema's projected_scan_gbps (resolved/filtered kinds)
     participates in the >5% regression gate like every throughput metric."""
-    import json
-
-    from ahocorasick_tpu.bench.__main__ import compare_results
-
     rec = {"config": "c", "kind": "longest", "map": False, "keywords": 5,
            "units": 100}
-    a = tmp_path / "a.jsonl"
-    b = tmp_path / "b.jsonl"
-    a.write_text(json.dumps({**rec, "projected_scan_gbps": 1.0}) + "\n")
-    b.write_text(json.dumps({**rec, "projected_scan_gbps": 0.5}) + "\n")
-    assert compare_results(str(a), str(b)) == 1
-    b.write_text(json.dumps({**rec, "projected_scan_gbps": 1.01}) + "\n")
-    assert compare_results(str(a), str(b)) == 0
+    a = _write(tmp_path, "a.jsonl", [{**rec, "projected_scan_gbps": 1.0}])
+    bad = _write(tmp_path, "bad.jsonl", [{**rec, "projected_scan_gbps": 0.5}])
+    ok = _write(tmp_path, "ok.jsonl", [{**rec, "projected_scan_gbps": 1.01}])
+    assert compare_results(a, bad) == 1
+    assert compare_results(a, ok) == 0

@@ -50,17 +50,33 @@ def main():
         ts._table, ts._halo, ts._sb, ts.mesh, mode)
     windows = scan_batched.chunk_classes(cls, ts.chunk, ts._halo, A)
     wdev = jax.device_put(jnp.asarray(windows))
-    n1 = int(run(tab_dev, wdev))  # warm (compile) + correctness
-    assert n1 == total, (n1, total)
+
+    # Reps inside ONE jit, rolled windows (CSE-proof) — the same dispatch-
+    # amortizing methodology as ac_kernel_rate, so the two sides compare
+    # apples to apples (a bare per-call timing charges RPC+sync overhead
+    # to the TP side only; review finding r5).
+    from jax import lax
+
+    reps = 8
+
+    @jax.jit
+    def reps_tp(tab, w):
+        def one(i, tot):
+            return tot + run(tab, jnp.roll(w, i, axis=0))
+
+        return lax.fori_loop(0, reps, one, jnp.int32(0))
+
+    warm = int(reps_tp(tab_dev, wdev))
+    assert warm == total * reps, (warm, total, reps)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        int(run(tab_dev, wdev))
+        int(reps_tp(tab_dev, wdev))
         best = min(best, time.perf_counter() - t0)
-    gbps = len(cls) * 2 / best / 1e9
+    gbps = len(cls) * 2 * reps / best / 1e9
     print(json.dumps({"layout": ts.layout, "tp_count_gbps": round(gbps, 4),
                       "tp_vs_replicated": round(gbps / kernel_gbps, 4),
-                      "scan_s": round(best, 3)}), flush=True)
+                      "scan_s": round(best / reps, 4)}), flush=True)
 
 
 if __name__ == "__main__":
