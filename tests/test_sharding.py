@@ -578,3 +578,43 @@ def test_sharded_wwl_long_keywords_halo_widening():
     want = [(a, b) for a, b, _ in gold.gold_whole_word_longest(m.compiled, text)]
     assert list(zip(s.tolist(), e.tolist())) == want
     assert len(want) > 0
+
+
+def test_table_sharded_mesh_shapes_and_edges():
+    """TP scanner robustness: degenerate DP x TP shapes ((1, 8), (4, 2)),
+    a model axis wider than the table's row count, and empty text."""
+    from ahocorasick_tpu.models.matchers import AhoCorasickSet, LongestMatchSet
+    from ahocorasick_tpu.parallel import sharding
+
+    rng = random.Random(60)
+    m = AhoCorasickSet(["ab", "abc", "bcd"], engine="gold")
+    text = _random_text(rng, 1500, "abcd")
+    want = [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
+    for shape in ((1, 8), (4, 2)):
+        ts = sharding.TableShardedScanner(m, sharding.dp_tp_mesh(shape=shape))
+        s, e, v = ts.match_triples(text)
+        assert list(zip(s.tolist(), e.tolist())) == want, shape
+        assert ts.count(text) == len(want)
+
+    # More model shards than quotient rows: padded rows must stay inert.
+    class _NeverDense:
+        def is_over_threshold(self, size, lo, hi):
+            return False
+
+    mq = AhoCorasickSet(["x", "y"], thresholder=_NeverDense())
+    assert mq.compiled.is_row_compressed
+    from ahocorasick_tpu.ops import scan_batched
+
+    assert scan_batched.effective_rows(mq.compiled) < 8
+    tq = sharding.TableShardedScanner(mq, sharding.model_mesh())
+    t2 = "xxyxy x!y"
+    wantq = [(a, b) for a, b, _ in gold.gold_ac(mq.compiled, t2)]
+    sq, eq, _ = tq.match_triples(t2)
+    assert list(zip(sq.tolist(), eq.tolist())) == wantq
+
+    # Empty text through every kind path that builds.
+    for mk in (m, LongestMatchSet(["ab", "abcd"], engine="gold")):
+        ts = sharding.TableShardedScanner(mk, sharding.model_mesh())
+        s, e, v = ts.match_triples("")
+        assert len(s) == 0
+        assert ts.count("") == 0
