@@ -149,3 +149,38 @@ def test_listener_chunk_gate_counts_utf16_units():
     # The chunk loop slices in code points, so an all-astral first chunk
     # covers up to 2x the minimum in units — still KiBs, not the full text.
     assert m.last_stats.units <= (2 << 14)
+
+
+def test_chunked_listener_mixed_wwl():
+    """Separator-spanning WWL dictionaries (round 5: mixed truncated-closure
+    scan cursor) through the chunked listener path: order equals full-scan,
+    early False stops after a prefix."""
+    from ahocorasick_tpu.models.matchers import WholeWordLongestMatchSet
+
+    rng = np.random.default_rng(13)
+    pieces = []
+    for _ in range(900):
+        r = int(rng.integers(10))
+        pieces.append("new york" if r < 2 else
+                      "".join(rng.choice(list("newyorkab"),
+                                         size=int(rng.integers(2, 6)))))
+    text = " ".join(pieces)
+    m = WholeWordLongestMatchSet(["new york", "new", "york", "ab"],
+                                 engine="device")
+    from ahocorasick_tpu.ops import scan_wwl
+
+    assert scan_wwl.mixed_scan_applicable(m.compiled)
+    expected = m.match(text)
+    assert ("new york" in [text[s:e] for s, e in expected])
+    m._LISTENER_CHUNK = 512
+    got = []
+    m.match(text, lambda t, s, e: got.append((s, e)) or True)
+    assert got == expected
+
+    m2 = WholeWordLongestMatchSet(["new york"], engine="device")
+    m2._LISTENER_CHUNK = 512
+    long_text = "new york " + "x" * 20000
+    calls = []
+    m2.match(long_text, lambda t, s, e: (calls.append((s, e)), False)[1])
+    assert calls == [(0, 8)]
+    assert m2.last_stats.units <= 1024, m2.last_stats.units
