@@ -562,24 +562,38 @@ class TableShardedScanner:
         # Resolution / boundary filtering changes counts for the other kinds.
         return int(len(self.match_triples(text)[0]))
 
+    def stream(self) -> "ShardedStream":
+        """Streaming cursor whose per-chunk scans run state-sharded on the
+        mesh (AC kind tail carry) — streaming for dictionaries beyond
+        per-chip HBM (``AhoCorasickMap.java:208-275`` at any size)."""
+        if self.m.kind != "ac":
+            raise ValueError(
+                "sharded streaming carries the AC tail invariant; use the "
+                "matcher's own stream() for the resolved/filtered kinds")
+        return ShardedStream(self)
+
     def match_triples(self, text: str):
         """(starts, ends, value_ids) in reference emission order."""
+        return self.match_triples_classes(self.matcher._classes(text))
+
+    def match_triples_classes(self, cls: np.ndarray):
+        """``match_triples`` over a precomputed class array (the streaming
+        cursor's entry point: feeds arrive as [tail | chunk])."""
         from ahocorasick_tpu.ops import scan_batched
 
         m = self.m
         if self.layout == "host":
             from ahocorasick_tpu.core.stream import make_cursor
 
-            trip = make_cursor(m).feed(self.matcher._classes(text),
-                                       is_final=True)
+            trip = make_cursor(m).feed(cls, is_final=True)
             return _triples_from_list(trip)
         if self.layout == "shortest":
             from ahocorasick_tpu.resolve.queue import resolve_shortest
 
-            # The inner scanner computes classes from its OWN charmap, so no
-            # class remap is needed; positions are shared (same UTF-16 text).
-            return resolve_shortest(*self._inner.match_triples(text))
-        cls = self.matcher._classes(text)
+            # The inner scanner scans its own charmap's classes (remap via
+            # the matcher); positions are shared (same UTF-16 text).
+            return resolve_shortest(*self._inner.match_triples_classes(
+                self.matcher._ac_classes(cls)))
         if self.layout == "wwl":
             from ahocorasick_tpu.ops import scan_wwl
             from ahocorasick_tpu.resolve.wholeword import (
@@ -931,18 +945,20 @@ class ShardedScanner:
 
 
 class ShardedStream:
-    """Streaming cursor whose per-chunk scans run data-parallel on the mesh.
+    """Streaming cursor whose per-chunk scans run on the mesh.
 
     The same d-synchronizing tail-carry invariant as the single-chip cursor
     (``core/stream._DfaCursor``; reference stream carry
     ``AhoCorasickMap.java:208-275``): the last ``max_depth`` classes replay
     as the next feed's left context, and candidates ending inside the tail
     region (already delivered last feed) are dropped — so an unbounded
-    stream scans chunk-at-a-time at the mesh's full data-parallel width,
-    with exact global offsets at any chunking.
+    stream scans chunk-at-a-time with exact global offsets at any chunking.
+    Wraps either mesh scanner: data-parallel ``ShardedScanner`` (full mesh
+    width per chunk) or state-sharded ``TableShardedScanner`` (streaming
+    for dictionaries beyond per-chip HBM).
     """
 
-    def __init__(self, scanner: ShardedScanner):
+    def __init__(self, scanner):
         self.scanner = scanner
         m = scanner.matcher.compiled
         self.halo = max(m.max_depth, 1)

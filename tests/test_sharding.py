@@ -618,3 +618,23 @@ def test_table_sharded_mesh_shapes_and_edges():
         s, e, v = ts.match_triples("")
         assert len(s) == 0
         assert ts.count("") == 0
+
+
+def test_table_sharded_stream_chunked_feeds():
+    """Streaming at >HBM scale: the tail-carry cursor over the state-
+    sharded scan — uneven chunked feeds equal the one-shot match list at
+    global offsets, on 1-axis and DP x TP meshes."""
+    from ahocorasick_tpu.parallel import sharding
+
+    rng = random.Random(61)
+    m = act.AhoCorasickSet(["ab", "abc", "bcd", "dd"], engine="gold")
+    text = _random_text(rng, 4000, "abcd ")
+    want = [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
+    for mesh in (sharding.model_mesh(), sharding.dp_tp_mesh()):
+        st = sharding.TableShardedScanner(m, mesh).stream()
+        got = []
+        cuts = [0, 977, 2011, 3500, len(text)]
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            s, e, v = st.feed(text[a:b], is_final=(b == len(text)))
+            got += list(zip(s.tolist(), e.tolist()))
+        assert got == want and len(want) > 0, mesh.axis_names
