@@ -566,10 +566,6 @@ class TableShardedScanner:
         """Streaming cursor whose per-chunk scans run state-sharded on the
         mesh (AC kind tail carry) — streaming for dictionaries beyond
         per-chip HBM (``AhoCorasickMap.java:208-275`` at any size)."""
-        if self.m.kind != "ac":
-            raise ValueError(
-                "sharded streaming carries the AC tail invariant; use the "
-                "matcher's own stream() for the resolved/filtered kinds")
         return ShardedStream(self)
 
     def match_triples(self, text: str):
@@ -831,10 +827,6 @@ class ShardedScanner:
     def stream(self) -> "ShardedStream":
         """Streaming cursor whose per-chunk scans run on the mesh (AC kind:
         the d-synchronizing tail carry, ``AhoCorasickMap.java:208-275``)."""
-        if self.matcher.compiled.kind != "ac":
-            raise ValueError(
-                "sharded streaming carries the AC tail invariant; use the "
-                "matcher's own stream() for the resolved/filtered kinds")
         return ShardedStream(self)
 
     def match_triples(self, text: str):
@@ -959,8 +951,13 @@ class ShardedStream:
     """
 
     def __init__(self, scanner):
-        self.scanner = scanner
         m = scanner.matcher.compiled
+        if m.kind != "ac":
+            # The ONE gate for both scanners' stream() fronts.
+            raise ValueError(
+                "sharded streaming carries the AC tail invariant; use the "
+                "matcher's own stream() for the resolved/filtered kinds")
+        self.scanner = scanner
         self.halo = max(m.max_depth, 1)
         self.tail = np.zeros(0, dtype=np.int32)
         self.off = 0  # global index of the next unit

@@ -48,14 +48,30 @@ def test_word_chars_toggle_readme_example():
     assert _spans(m, "x_y a=b") == ["x", "y"]
 
 
-def test_longest_shortest_readme_semantics():
-    """README.md:92-103: LongestMatch returns leftmost-longest
-    non-overlapping; ShortestMatch the leftmost-shortest (prefix-free
-    precondition noted there)."""
-    lm = LongestMatchSet(["he", "hers", "she"])
-    # leftmost wins over longer-but-later: "she"@1 beats "hers"@2
-    assert _spans(lm, "ushers") == ["she"]
-    sm = ShortestMatchSet(["hers", "she"])
-    assert _spans(sm, "ushers") == ["she"]
-    ac = AhoCorasickSet(["he", "hers", "she"])
-    assert _spans(ac, "ushers") == ["she", "he", "hers"]
+def test_ac_readme_example():
+    """README.md:90: 'For input string of `aaaa` and a dictionary of
+    `a, aa, aaa, aaaa`, string `a` will match 4 times, string `aa` will
+    match 3 times, string `aaa` will match twice and `aaaa` will match
+    once.'"""
+    ac = AhoCorasickSet(["a", "aa", "aaa", "aaaa"])
+    got = _spans(ac, "aaaa")
+    assert sorted(got) == ["a"] * 4 + ["aa"] * 3 + ["aaa"] * 2 + ["aaaa"]
+
+
+def test_longest_readme_example():
+    """README.md:96: 'For input string `a1b2c3d4` and a dictionary of
+    `b, b2, 2c3d4`, only `b2` will match. `2c3d4` is longer but it
+    overlaps with a match that starts earlier.'"""
+    lm = LongestMatchSet(["b", "b2", "2c3d4"])
+    assert _spans(lm, "a1b2c3d4") == ["b2"]
+
+
+def test_shortest_readme_examples():
+    """README.md:102: 'For input string `a1b2c3d4` and a dictionary of
+    `2, b2, 2c3d4`, only `b2` will match. `2` is shorter but it overlaps
+    with a match that starts earlier. With a dictionary of `b, 2, b2`,
+    both `b` and `2` will match.'"""
+    sm = ShortestMatchSet(["2", "b2", "2c3d4"])
+    assert _spans(sm, "a1b2c3d4") == ["b2"]
+    sm2 = ShortestMatchSet(["b", "2", "b2"])
+    assert _spans(sm2, "a1b2c3d4") == ["b", "2"]

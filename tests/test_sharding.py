@@ -620,6 +620,18 @@ def test_table_sharded_mesh_shapes_and_edges():
         assert ts.count("") == 0
 
 
+def test_stream_gate_rejects_resolved_kinds():
+    """Both scanners' stream() fronts share the ONE AC-only gate."""
+    from ahocorasick_tpu.models.matchers import LongestMatchSet
+    from ahocorasick_tpu.parallel import sharding
+
+    m = LongestMatchSet(["ab", "abcd"], engine="gold")
+    with pytest.raises(ValueError):
+        ShardedScanner(m, data_mesh()).stream()
+    with pytest.raises(ValueError):
+        sharding.TableShardedScanner(m, sharding.model_mesh()).stream()
+
+
 def test_table_sharded_stream_chunked_feeds():
     """Streaming at >HBM scale: the tail-carry cursor over the state-
     sharded scan — uneven chunked feeds equal the one-shot match list at

@@ -16,7 +16,9 @@ from ahocorasick_tpu.core import gold
 from ahocorasick_tpu.models.matchers import WholeWordLongestMatchSet
 from ahocorasick_tpu.ops import scan_wwl
 
-# Pinned facts for rng seed 1 (regenerate only with an algorithm change).
+# Pinned facts for rng seed 1.  Regenerate on an algorithm change OR a
+# numpy upgrade: Generator bit streams for choice/integers may change
+# between numpy versions (NEP 19 stability applies to RandomState only).
 N_KEYWORDS = 97_215
 N_STATES = 324_802
 
