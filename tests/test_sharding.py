@@ -650,3 +650,26 @@ def test_table_sharded_stream_chunked_feeds():
             s, e, v = st.feed(text[a:b], is_final=(b == len(text)))
             got += list(zip(s.tolist(), e.tolist()))
         assert got == want and len(want) > 0, mesh.axis_names
+
+
+def test_sharded_stream_hotstate_layout():
+    """Streaming over a hotstate-layout dictionary (emit mask overflows the
+    packed word) through BOTH mesh scanners: chunked feeds equal gold."""
+    from ahocorasick_tpu.ops import scan_batched
+    from ahocorasick_tpu.parallel import sharding
+
+    kws = ["a" * i for i in range(1, 80)] + ["ab", "ba", "bb"]
+    m = act.AhoCorasickSet(kws, True, engine="device")
+    assert scan_batched.hotstate_layout(m.compiled)
+    rng = random.Random(62)
+    text = _random_text(rng, 3000, "ab")
+    want = [(a, b) for a, b, _ in gold.gold_ac(m.compiled, text)]
+    for scanner in (ShardedScanner(m, data_mesh()),
+                    sharding.TableShardedScanner(m, sharding.model_mesh())):
+        st = scanner.stream()
+        got = []
+        cuts = [0, 700, 1501, len(text)]
+        for a, b in zip(cuts[:-1], cuts[1:]):
+            s, e, v = st.feed(text[a:b], is_final=(b == len(text)))
+            got += list(zip(s.tolist(), e.tolist()))
+        assert got == want and len(want) > 0, type(scanner).__name__
