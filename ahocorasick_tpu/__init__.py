@@ -5,6 +5,13 @@ RokLenarcic/AhoCorasick Java library: Aho-Corasick all-matches,
 leftmost-longest, leftmost-shortest and whole-word multi-keyword search,
 compiled host-side into dense tables and executed as data-parallel scans on
 TPU (with CPU fallback), sharded across device meshes for large corpora.
+
+Multi-chip surfaces live in ``ahocorasick_tpu.parallel.sharding``
+(``ShardedScanner`` — data-parallel; ``TableShardedScanner`` —
+state-sharded for beyond-HBM dictionaries; ``dp_tp_mesh`` — the 2-D
+composition; both scanners stream via ``.stream()``).  They are not
+re-exported here on purpose: importing them pulls in jax eagerly, while
+the compile-only surface above stays importable without a device runtime.
 """
 
 from ahocorasick_tpu.core.compiler import CompiledMatcher, compile_matcher
@@ -44,4 +51,4 @@ __all__ = [
     "RangeNodeThreshold",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
