@@ -84,9 +84,13 @@ def _read_chunks(source, chunk_units: int):
 # row-compressed gold path, the sharded shortest fallback) would otherwise
 # re-trace and re-compile the lax.scan on every call — measured ~70-200 ms
 # per compile vs ~0.2 ms warm.
+import weakref
 from collections import OrderedDict as _OrderedDict
 
 _SEQSCAN_JITS: "_OrderedDict[int, tuple]" = _OrderedDict()
+
+# id(CompiledMatcher) -> (weakref, restart table); see _restart_table.
+_RESTART_TABLES: dict = {}
 
 
 def _seqscan_jit(table):
@@ -397,17 +401,32 @@ class _ShortestCursor:
         # Restart-at-root baked into the table: match-state rows equal the
         # root's (the compile-time pruning makes deep match states leaves;
         # level-1 match states are handled by the same substitution).
+        # Memoized per matcher (weak-keyed): a fresh table per cursor would
+        # defeat _SeqScan's id-keyed jit cache at every fresh-cursor call
+        # site (e.g. row-compressed shortest match_triples builds a cursor
+        # per call) — a re-trace + re-compile per match (review finding r5).
+        cached = _RESTART_TABLES.get(id(m))
+        if cached is not None and cached[0]() is m:
+            return cached[1]
         from ahocorasick_tpu.core.compiler import RowTable
 
         is_match = m.match_len[: m.num_states] > 0
         if isinstance(m.dfa_next, RowTable):
-            return RowTable(
+            table = RowTable(
                 m.dfa_next.rows,
                 np.where(is_match, m.dfa_next.row_id[0], m.dfa_next.row_id),
             )
-        eff = m.dfa_next.copy()
-        eff[is_match] = m.dfa_next[0]
-        return eff
+        else:
+            eff = m.dfa_next.copy()
+            eff[is_match] = m.dfa_next[0]
+            table = eff
+        key = id(m)
+
+        def _evict(_ref, _key=key):
+            _RESTART_TABLES.pop(_key, None)
+
+        _RESTART_TABLES[key] = (weakref.ref(m, _evict), table)
+        return table
 
     def _maybe_upgrade(self, n: int) -> None:
         if (self._cand is not None or self._tail_missing > 0

@@ -107,20 +107,12 @@ def resolve_end_planes(m: CompiledMatcher, cls: np.ndarray, bits: np.ndarray,
         # Device-side hot-position compaction first: only (idx, masks) for
         # positions with any emit bit cross the host link (match-sparse
         # texts shrink the download by >10x); dense/adversarial inputs fall
-        # back to the full-plane download.
+        # back to the full-plane download.  The hotstate layout decodes its
+        # packed (state, count) plane to the same (idx, masks) contract.
         if layout == "hotstate":
-            # Huge-dictionary packed (state, count) plane: decode to the
-            # same (idx, masks) sparse contract (scan_batched module doc).
-            idx, masks = scan_batched.hotstate_sparse(m, bits, len(cls))
-            starts, ends = native_lib.extract_resolve_sparse(
-                idx, masks, len(cls), m.max_depth, mode
-            )
-            if m.values is not None:
-                vals = walk_values(m, cls, starts, ends - starts)
-            else:
-                vals = np.full(len(starts), -1, dtype=np.int64)
-            return starts, ends, vals
-        sp = scan_batched.planes_to_sparse(bits, len(cls))
+            sp = scan_batched.hotstate_sparse(m, bits, len(cls))
+        else:
+            sp = scan_batched.planes_to_sparse(bits, len(cls))
         if sp is not None:
             starts, ends = native_lib.extract_resolve_sparse(
                 sp[0], sp[1], len(cls), m.max_depth, mode
@@ -129,11 +121,9 @@ def resolve_end_planes(m: CompiledMatcher, cls: np.ndarray, bits: np.ndarray,
             starts, ends = native_lib.extract_resolve(
                 np.asarray(bits), len(cls), m.max_depth, mode
             )
-        if m.values is not None:
-            vals = walk_values(m, cls, starts, ends - starts)
-        else:
-            vals = np.full(len(starts), -1, dtype=np.int64)
-        return starts, ends, vals
+        # Value recovery over just the accepted spans — the ONE
+        # implementation shared with the AC extraction path.
+        return starts, ends, scan_batched._ac_vals(m, cls, starts, ends)
 
     from ahocorasick_tpu.resolve.queue import resolve_longest, resolve_shortest
 

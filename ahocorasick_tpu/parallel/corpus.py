@@ -55,12 +55,17 @@ def scan_corpus(
     t0 = time.perf_counter()
     for i, doc in enumerate(documents):
         # UTF-16 units, matching the package's ScanStats/offset contract
-        # (astral code points count 2) — counted without materializing a
-        # 2x-size encode of the document.
-        stats.units += len(doc) + sum(1 for ch in doc if ord(ch) > 0xFFFF)
+        # (astral code points count 2).  ASCII fast path: the per-char
+        # Python loop runs at ~tens of MB/s and would otherwise sit inside
+        # the timed region distorting gbps on large ASCII corpora (review
+        # finding r5); non-ASCII documents pay one C-speed scan + the loop.
+        if doc.isascii():
+            stats.units += len(doc)
+        else:
+            stats.units += len(doc) + sum(1 for ch in doc if ord(ch) > 0xFFFF)
         matches = None
         err = None
-        for _ in range(max_retries + 1):
+        for attempt in range(max_retries + 1):
             try:
                 matches = matcher.match(doc)
                 break
@@ -68,7 +73,8 @@ def scan_corpus(
                 raise
             except Exception as e:  # idempotent: just re-scan
                 err = e
-                stats.retries += 1
+                if attempt < max_retries:
+                    stats.retries += 1  # the LAST failure retries nowhere
         if matches is None:
             try:
                 trip = gold.gold_match(matcher.compiled, doc)

@@ -37,9 +37,10 @@ def test_scan_corpus_retries_then_gold_fallback():
 
     m.match = flaky
     results, stats = scan_corpus(m, ["he there"], max_retries=2)
-    # 3 failures exhaust retries; gold fallback answers ("he" and t"he"re).
+    # 3 failures exhaust the attempts; only 2 were RETRIES (the last
+    # failure retries nowhere — review finding r5); gold fallback answers.
     assert results == [[(0, 2), (4, 6)]]
-    assert stats.retries == 3
+    assert stats.retries == 2
     assert stats.gold_fallbacks == 1
 
 

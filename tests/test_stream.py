@@ -512,3 +512,17 @@ def test_seqscan_jit_cached_across_cursor_instances():
     m.match_triples("bcbcbc")
     run2 = stream_mod._seqscan_jit(m.compiled.dfa_next)
     assert run1 is run2
+
+
+def test_restart_table_memoized_across_cursors():
+    """The shortest restart-baked table is memoized per matcher: a fresh
+    table per cursor would defeat the sequential-scan jit cache at every
+    fresh-cursor call site (row-compressed shortest match_triples builds a
+    cursor per call — review finding r5)."""
+    from ahocorasick_tpu.core.stream import _ShortestCursor
+    from ahocorasick_tpu.models.matchers import ShortestMatchSet
+
+    m = ShortestMatchSet(["she", "he"], engine="gold").compiled
+    t1 = _ShortestCursor._restart_table(m)
+    t2 = _ShortestCursor._restart_table(m)
+    assert t1 is t2
