@@ -107,6 +107,11 @@ def run_config(label: str, *, kind: str, is_map: bool, keywords: list,
         "map": is_map,
         "engine": best.engine,
         "keywords": len(keywords),
+        # The reference README's memory column (README.md:135,148-150):
+        # host compiled-form bytes, plus the HBM engine-table footprint
+        # actually uploaded for this scan (built lazily, hence post-run).
+        "table_mb": round(m.compiled.memory_bytes() / 1e6, 1),
+        "device_mb": round(m.device_table_bytes() / 1e6, 1),
         "num_states": m.compiled.num_states,
         "units": best.units,
         "matches": best.matches,
@@ -338,7 +343,7 @@ def compare_results(path_a: str, path_b: str) -> int:
     _HIGHER_IS_BETTER = ("gbps", "kernel_gbps", "projected_gbps",
                          "projected_scan_gbps", "matches_per_sec",
                          "efficiency_vs_1")
-    _LOWER_IS_BETTER = ("scan_s", "compile_s")
+    _LOWER_IS_BETTER = ("scan_s", "compile_s", "table_mb", "device_mb")
 
     def load(path):
         recs = {}
@@ -476,6 +481,8 @@ def main(argv=None) -> None:
         "map": args.map,
         "engine": best.engine,
         "keywords": len(keywords),
+        "table_mb": round(m.compiled.memory_bytes() / 1e6, 1),
+        "device_mb": round(m.device_table_bytes() / 1e6, 1),
         "num_states": m.compiled.num_states,
         "num_classes": m.compiled.num_classes,
         "units": best.units,

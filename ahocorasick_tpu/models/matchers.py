@@ -370,6 +370,32 @@ class _DeviceTables:
             cache["packed_dfa"] = pd._replace(table=jnp.asarray(table))
         return cache["packed_dfa"]
 
+    def device_bytes(self) -> int:
+        """Total bytes of device-resident table arrays built so far — the
+        matcher's HBM table footprint after warmup.  The host compiled-form
+        size is ``CompiledMatcher.memory_bytes`` (the analog of the
+        reference README's memory column, README.md:135,148-150); the
+        device number is smaller because engines upload one packed layout,
+        not the whole compiled form."""
+        import jax
+
+        seen: set = set()
+        total = 0
+
+        def walk(v) -> None:
+            nonlocal total
+            if isinstance(v, jax.Array):
+                if id(v) not in seen:
+                    seen.add(id(v))
+                    total += v.nbytes
+            elif isinstance(v, tuple):  # includes NamedTuple table structs
+                for x in v:
+                    walk(x)
+
+        for v in self.__dict__["_cache"].values():
+            walk(v)
+        return total
+
 
 class _Matcher:
     kind: str = ""
@@ -477,6 +503,16 @@ class _Matcher:
     def count(self, text: str) -> int:
         starts, _, _ = self.match_triples(text)
         return int(len(starts))
+
+    def device_table_bytes(self) -> int:
+        """HBM bytes of the engine tables uploaded so far (0 before the
+        first device scan; grows as lazy layouts build).  Shortest matchers
+        include their internal candidate automaton (``_ac``)."""
+        total = self.dev.device_bytes()
+        inner = self.__dict__.get("_ac_cache")  # built lazily; 0 until then
+        if inner is not None:
+            total += inner.device_table_bytes()
+        return total
 
     def _deliver(self, text: str, listener, starts, ends, vals):
         # tolist() up front: C-speed conversion to plain ints beats a

@@ -213,3 +213,28 @@ def test_from_compiled_rejects_unknown_engine():
 
     with _pytest.raises(ValueError):
         AhoCorasickSet.from_compiled(m.compiled, engine="glod")
+
+
+def test_device_table_bytes_reporting():
+    """``device_table_bytes`` reports the lazily-built HBM table footprint:
+    0 before any device scan, positive after, never larger than the host
+    compiled form for a single packed layout, and the shortest kinds
+    include their internal candidate automaton (the reference README's
+    memory column analog, README.md:135,148-150)."""
+    m = act.AhoCorasickSet(["he", "she", "hers"], engine="device")
+    assert m.device_table_bytes() == 0
+    m.count("ushers and she")
+    b = m.device_table_bytes()
+    assert b > 0
+    m.count("ushers and she")  # warm rerun builds nothing new
+    assert m.device_table_bytes() == b
+
+    s = act.ShortestMatchSet(["he", "she", "hers"], engine="device")
+    s.count("ushers and she")
+    # The shortest matcher's own dev cache stays empty (its scan rides the
+    # internal AC), so a positive total proves the _ac contribution counts.
+    assert s.device_table_bytes() > 0
+
+    g = act.AhoCorasickSet(["he", "she"], engine="gold")
+    g.count("ushers")
+    assert g.device_table_bytes() == 0  # gold path uploads nothing
