@@ -60,3 +60,14 @@ def test_compare_flags_projected_scan_regression(tmp_path):
     ok = _write(tmp_path, "ok.jsonl", [{**rec, "projected_scan_gbps": 1.01}])
     assert compare_results(a, bad) == 1
     assert compare_results(a, ok) == 0
+
+
+def test_memory_columns_compared_lower_is_better(tmp_path, capsys):
+    """table_mb/device_mb (the reference README's memory column analog)
+    print as lower-is-better deltas and never trip the throughput gate."""
+    a = _write(tmp_path, "a.jsonl", [{**_REC, "table_mb": 100.0, "device_mb": 50.0}])
+    b = _write(tmp_path, "b.jsonl", [{**_REC, "table_mb": 120.0, "device_mb": 40.0}])
+    assert compare_results(a, b) == 0  # memory growth reports, never gates
+    out = capsys.readouterr().out
+    assert "- c1" in out and "table_mb" in out      # regression marked "-"
+    assert "+ c1" in out and "device_mb" in out     # improvement marked "+"
