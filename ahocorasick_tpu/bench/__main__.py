@@ -108,9 +108,10 @@ def run_config(label: str, *, kind: str, is_map: bool, keywords: list,
         "engine": best.engine,
         "keywords": len(keywords),
         # The reference README's memory column (README.md:135,148-150):
-        # host compiled-form bytes, plus the HBM engine-table footprint
-        # actually uploaded for this scan (built lazily, hence post-run).
-        "table_mb": round(m.compiled.memory_bytes() / 1e6, 1),
+        # host compiled-form bytes (incl. the shortest kinds' internal AC),
+        # plus the HBM engine-table footprint actually uploaded for this
+        # scan (built lazily, hence post-run).
+        "table_mb": round(m.host_table_bytes() / 1e6, 1),
         "device_mb": round(m.device_table_bytes() / 1e6, 1),
         "num_states": m.compiled.num_states,
         "units": best.units,
@@ -369,7 +370,13 @@ def compare_results(path_a: str, path_b: str) -> int:
             va, vb = ra.get(metric), rb.get(metric)
             if not isinstance(va, (int, float)) or not isinstance(vb, (int, float)):
                 continue
-            ratio = (vb / va) if va else float("inf")
+            # va == 0 happens routinely for the rounded memory columns
+            # (sub-50 KB tables, gold-engine records): equal zeros are a
+            # wash, 0 -> nonzero only "regresses" when lower is better.
+            if va:
+                ratio = vb / va
+            else:
+                ratio = 1.0 if vb == 0 else float("inf")
             better = ratio >= 1.0 if metric in _HIGHER_IS_BETTER else ratio <= 1.0
             mark = "+" if better else "-"
             if metric in _HIGHER_IS_BETTER and ratio < 0.95:
@@ -481,7 +488,7 @@ def main(argv=None) -> None:
         "map": args.map,
         "engine": best.engine,
         "keywords": len(keywords),
-        "table_mb": round(m.compiled.memory_bytes() / 1e6, 1),
+        "table_mb": round(m.host_table_bytes() / 1e6, 1),
         "device_mb": round(m.device_table_bytes() / 1e6, 1),
         "num_states": m.compiled.num_states,
         "num_classes": m.compiled.num_classes,

@@ -377,23 +377,20 @@ class _DeviceTables:
         reference README's memory column, README.md:135,148-150); the
         device number is smaller because engines upload one packed layout,
         not the whole compiled form."""
+        cache = self.__dict__["_cache"]
+        if not cache:
+            return 0  # nothing built — and never import jax just to say so
         import jax
 
         seen: set = set()
         total = 0
-
-        def walk(v) -> None:
-            nonlocal total
-            if isinstance(v, jax.Array):
-                if id(v) not in seen:
-                    seen.add(id(v))
-                    total += v.nbytes
-            elif isinstance(v, tuple):  # includes NamedTuple table structs
-                for x in v:
-                    walk(x)
-
-        for v in self.__dict__["_cache"].values():
-            walk(v)
+        # tree_leaves descends tuples/NamedTuples/lists/dicts alike; the
+        # isinstance filter drops host-side numpy copies (e.g.
+        # wwl_scan_host) and scalar metadata.
+        for leaf in jax.tree_util.tree_leaves(list(cache.values())):
+            if isinstance(leaf, jax.Array) and id(leaf) not in seen:
+                seen.add(id(leaf))
+                total += leaf.nbytes
         return total
 
 
@@ -512,6 +509,19 @@ class _Matcher:
         inner = self.__dict__.get("_ac_cache")  # built lazily; 0 until then
         if inner is not None:
             total += inner.device_table_bytes()
+        return total
+
+    def host_table_bytes(self) -> int:
+        """Host bytes of the compiled form(s) actually resident — the
+        reference README's memory column analog (README.md:135,148-150).
+        Shortest matchers add their internal candidate automaton's compiled
+        form (once built), keeping this symmetric with
+        ``device_table_bytes``; plain ``compiled.memory_bytes()`` reports
+        only the outer automaton."""
+        total = self.compiled.memory_bytes()
+        inner = self.__dict__.get("_ac_cache")
+        if inner is not None:
+            total += inner.host_table_bytes()
         return total
 
     def _deliver(self, text: str, listener, starts, ends, vals):

@@ -65,9 +65,29 @@ def test_compare_flags_projected_scan_regression(tmp_path):
 def test_memory_columns_compared_lower_is_better(tmp_path, capsys):
     """table_mb/device_mb (the reference README's memory column analog)
     print as lower-is-better deltas and never trip the throughput gate."""
+    import re
+
     a = _write(tmp_path, "a.jsonl", [{**_REC, "table_mb": 100.0, "device_mb": 50.0}])
     b = _write(tmp_path, "b.jsonl", [{**_REC, "table_mb": 120.0, "device_mb": 40.0}])
     assert compare_results(a, b) == 0  # memory growth reports, never gates
     out = capsys.readouterr().out
-    assert "- c1" in out and "table_mb" in out      # regression marked "-"
-    assert "+ c1" in out and "device_mb" in out     # improvement marked "+"
+    # Bind the marker to the metric's own row, so an accidental direction
+    # flip cannot be satisfied by some other row's marker.
+    assert re.search(r"^- c1\s+table_mb", out, re.M)    # growth marked "-"
+    assert re.search(r"^\+ c1\s+device_mb", out, re.M)  # shrink marked "+"
+
+
+def test_memory_columns_zero_values_not_flagged(tmp_path, capsys):
+    """Rounded-to-0.0 memory values (sub-50 KB tables, gold records) must
+    not print spurious inf-ratio regressions; 0 -> nonzero still flags."""
+    import re
+
+    a = _write(tmp_path, "a.jsonl", [{**_REC, "device_mb": 0.0}])
+    same = _write(tmp_path, "same.jsonl", [{**_REC, "device_mb": 0.0}])
+    grew = _write(tmp_path, "grew.jsonl", [{**_REC, "device_mb": 3.0}])
+    assert compare_results(a, same) == 0
+    out = capsys.readouterr().out
+    assert re.search(r"^\+ c1\s+device_mb\s+0\b.*1\.000x", out, re.M)
+    assert compare_results(a, grew) == 0  # reported, never gates
+    out = capsys.readouterr().out
+    assert re.search(r"^- c1\s+device_mb", out, re.M)

@@ -234,7 +234,11 @@ def test_device_table_bytes_reporting():
     # The shortest matcher's own dev cache stays empty (its scan rides the
     # internal AC), so a positive total proves the _ac contribution counts.
     assert s.device_table_bytes() > 0
+    # host_table_bytes is symmetric: it adds the internal AC's compiled
+    # form, so it exceeds the outer compiled form alone.
+    assert s.host_table_bytes() > s.compiled.memory_bytes()
 
     g = act.AhoCorasickSet(["he", "she"], engine="gold")
     g.count("ushers")
     assert g.device_table_bytes() == 0  # gold path uploads nothing
+    assert g.host_table_bytes() == g.compiled.memory_bytes()
